@@ -1,0 +1,197 @@
+"""EvolveGCN-H: a GRU evolves the GCN weights across time.
+
+The one genuinely sequential model family: at each time step a GRU cell
+updates the layer weight matrix from a top-k summary of the current node
+embeddings, then the slice is propagated with the evolved weights. The
+time recurrence maps onto ``lax.scan`` (weights are the carry; the padded
+per-slice COO arrays and features are the scanned inputs), so the whole
+model is one compiled loop rather than a Python loop over slices.
+
+Capability reference: IBM/TM-GCN TensorGCN-master/evolvegcn_functions.py —
+EvolveGCN_1_layer :22-101, EvolveGCN_2_layer :104-213, EvolveGCN_reg
+:310-381; summarize (top-k scored by learned vector p) :80-84, GRU cell g
+:86-91, GCONV :97-101. The initial weights W_init are deliberately
+non-learned random buffers threaded from training into val/test forward
+passes (experiment_bitcoin_evolvegcn.py:132-148); ``apply`` therefore
+takes optional explicit initial weights and always returns the evolved
+finals.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tmgcn_tpu.core.sparse import TemporalCOO
+from tmgcn_tpu.models.common import randn, split_dict
+from tmgcn_tpu.ops.edge_readout import edge_readout
+from tmgcn_tpu.ops.spmm import spmm_slice
+
+
+def summarize(X: jax.Array, p: jax.Array, k: int) -> jax.Array:
+    """Top-k node summary: rows of X scored/scaled by X @ p / ||p||."""
+    y = jnp.matmul(X, p) / jnp.linalg.norm(p)
+    top_y, idx = jax.lax.top_k(y, k)
+    return X[idx] * top_y[:, None]
+
+
+def gru_cell(cell: dict, Xs: jax.Array, H: jax.Array) -> jax.Array:
+    """The weight-evolution GRU: inputs (F, k) summary, carry (F, k) W."""
+    Z = jax.nn.sigmoid(cell["W_Z"] @ Xs + cell["U_Z"] @ H + cell["B_Z"])
+    R = jax.nn.sigmoid(cell["W_R"] @ Xs + cell["U_R"] @ H + cell["B_R"])
+    Ht = jnp.tanh(cell["W_H"] @ Xs + cell["U_H"] @ (R * H) + cell["B_H"])
+    return (1.0 - Z) * H + Z * Ht
+
+
+def _init_cell(key: jax.Array, f_in: int, f_out: int, dtype) -> dict:
+    names = ["p", "W_Z", "U_Z", "B_Z", "W_R", "U_R", "B_R", "W_H", "U_H", "B_H"]
+    k = split_dict(key, names)
+    cell = {"p": randn(k["p"], (f_in,), dtype)}
+    for gate in ["Z", "R", "H"]:
+        cell[f"W_{gate}"] = randn(k[f"W_{gate}"], (f_in, f_in), dtype)
+        cell[f"U_{gate}"] = randn(k[f"U_{gate}"], (f_in, f_in), dtype)
+        cell[f"B_{gate}"] = randn(k[f"B_{gate}"], (f_in, f_out), dtype)
+    return cell
+
+
+def _evolve_step(cell: dict, W: jax.Array, x: jax.Array) -> jax.Array:
+    """W_t = GRU(summarize(X_t, k)^T, W_{t-1})."""
+    k = W.shape[1]
+    return gru_cell(cell, summarize(x, cell["p"], k).T, W)
+
+
+@dataclasses.dataclass(frozen=True)
+class EvolveGCN:
+    """EvolveGCN-H with 1 or 2 layers and edge-readout head.
+
+    hidden_feat = [F1, C] or [F1, F2, C].
+    """
+
+    n_slices: int
+    in_feat: int
+    hidden_feat: tuple[int, ...]
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def n_layers(self) -> int:
+        return len(self.hidden_feat) - 1
+
+    def init(self, key: jax.Array) -> dict:
+        f = (self.in_feat,) + tuple(self.hidden_feat)
+        if self.n_layers not in (1, 2):
+            raise ValueError("EvolveGCN supports 1 or 2 layers")
+        names = ["cell1", "W_init1", "U"] + (
+            ["cell2", "W_init2"] if self.n_layers == 2 else []
+        )
+        k = split_dict(key, names)
+        params = {
+            "cell1": _init_cell(k["cell1"], f[0], f[1], self.dtype),
+            "U": randn(k["U"], (2 * f[-2], f[-1]), self.dtype),
+        }
+        buffers = {"W_init1": randn(k["W_init1"], (f[0], f[1]), self.dtype)}
+        if self.n_layers == 2:
+            params["cell2"] = _init_cell(k["cell2"], f[1], f[2], self.dtype)
+            buffers["W_init2"] = randn(k["W_init2"], (f[1], f[2]), self.dtype)
+        return {"params": params, "buffers": buffers}
+
+    def embed_and_weights(
+        self,
+        variables: dict,
+        A: TemporalCOO,
+        X: jax.Array,
+        W_init: jax.Array | None = None,
+        W_init2: jax.Array | None = None,
+    ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
+        """Scan over time; return (T, N, F_last) embeddings + final weights."""
+        p = variables["params"]
+        b = variables["buffers"]
+        W0 = b["W_init1"] if W_init is None else W_init
+        n = A.n_nodes
+
+        if self.n_layers == 1:
+
+            def step(W, xs):
+                rows, cols, vals, x = xs
+                W = _evolve_step(p["cell1"], W, x)
+                h = jnp.matmul(spmm_slice(rows, cols, vals, x, n), W)
+                return W, h
+
+            W_fin, Y = jax.lax.scan(step, W0, (A.rows, A.cols, A.vals, X))
+            return Y, (W_fin,)
+
+        W20 = b["W_init2"] if W_init2 is None else W_init2
+
+        def step2(carry, xs):
+            W, W2 = carry
+            rows, cols, vals, x = xs
+            W = _evolve_step(p["cell1"], W, x)
+            h = jax.nn.relu(jnp.matmul(spmm_slice(rows, cols, vals, x, n), W))
+            W2 = _evolve_step(p["cell2"], W2, h)
+            h = jnp.matmul(spmm_slice(rows, cols, vals, h, n), W2)
+            return (W, W2), h
+
+        (W_fin, W2_fin), Y = jax.lax.scan(step2, (W0, W20), (A.rows, A.cols, A.vals, X))
+        return Y, (W_fin, W2_fin)
+
+    def apply(
+        self,
+        variables: dict,
+        A: TemporalCOO,
+        X: jax.Array,
+        edges: jax.Array,
+        W_init: jax.Array | None = None,
+        W_init2: jax.Array | None = None,
+    ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
+        """Returns ((E, C) logits, evolved final weights)."""
+        Y, finals = self.embed_and_weights(variables, A, X, W_init, W_init2)
+        return edge_readout(Y, edges, variables["params"]["U"]), finals
+
+
+@dataclasses.dataclass(frozen=True)
+class EvolveGCNReg:
+    """1-layer EvolveGCN-H with per-node linear regression head -> (T, N)."""
+
+    n_slices: int
+    in_feat: int
+    hidden_feat: tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+
+    def init(self, key: jax.Array) -> dict:
+        f0, (f1, _) = self.in_feat, self.hidden_feat
+        k = split_dict(key, ["cell1", "W_init1", "lin_w", "lin_b"])
+        bound = 1.0 / jnp.sqrt(jnp.asarray(f1, self.dtype))
+        return {
+            "params": {
+                "cell1": _init_cell(k["cell1"], f0, f1, self.dtype),
+                "lin_w": jax.random.uniform(
+                    k["lin_w"], (f1, 1), self.dtype, minval=-bound, maxval=bound
+                ),
+                "lin_b": jax.random.uniform(
+                    k["lin_b"], (1,), self.dtype, minval=-bound, maxval=bound
+                ),
+            },
+            "buffers": {"W_init1": randn(k["W_init1"], (f0, f1), self.dtype)},
+        }
+
+    def apply(
+        self,
+        variables: dict,
+        A: TemporalCOO,
+        X: jax.Array,
+        W_init: jax.Array | None = None,
+    ) -> jax.Array:
+        p = variables["params"]
+        W0 = variables["buffers"]["W_init1"] if W_init is None else W_init
+        n = A.n_nodes
+
+        def step(W, xs):
+            rows, cols, vals, x = xs
+            W = _evolve_step(p["cell1"], W, x)
+            h = jnp.matmul(spmm_slice(rows, cols, vals, x, n), W)
+            return W, h
+
+        _, Y = jax.lax.scan(step, W0, (A.rows, A.cols, A.vals, X))
+        out = jnp.matmul(Y, p["lin_w"].astype(Y.dtype)) + p["lin_b"].astype(Y.dtype)
+        return out[..., 0]

@@ -1,0 +1,131 @@
+"""WD-GCN: one GCN layer followed by a per-node LSTM over time.
+
+One per-slice graph convolution produces (T, N, F1) embeddings; a single
+LSTM cell with weights shared across nodes then scans the time axis
+(``lax.scan``, nodes batched on the leading matmul dimension).
+
+Capability reference: IBM/TM-GCN TensorGCN-master/wd_gcn_functions.py —
+WD_GCN :21-98, WD_GCN_reg :100-169. Two reference quirks reproduced for
+parity: the candidate cell state uses a *sigmoid* (not tanh,
+wd_gcn_functions.py:94), and the edge-readout matrix U is a frozen random
+tensor, never trained (:55) — it lives in ``buffers`` here. The LSTM
+initial states h/c are likewise frozen random buffers.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from tmgcn_tpu.core.sparse import TemporalCOO
+from tmgcn_tpu.models.common import randn, split_dict
+from tmgcn_tpu.ops.edge_readout import edge_readout
+from tmgcn_tpu.ops.spmm import spmm
+
+
+def _init_lstm(key: jax.Array, f: int, dtype) -> tuple[dict, dict]:
+    names = [f"{w}{g}" for w in ("W", "U") for g in "fjco"] + [f"b{g}" for g in "fjco"]
+    k = split_dict(key, names + ["h_init", "c_init"])
+    params = {}
+    for g in "fjco":
+        params[f"W{g}"] = randn(k[f"W{g}"], (f, f), dtype)
+        params[f"U{g}"] = randn(k[f"U{g}"], (f, f), dtype)
+        params[f"b{g}"] = randn(k[f"b{g}"], (f,), dtype)
+    buffers = {
+        "h_init": randn(k["h_init"], (f,), dtype),
+        "c_init": randn(k["c_init"], (f,), dtype),
+    }
+    return params, buffers
+
+
+def lstm_scan(params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array) -> jax.Array:
+    """Scan the shared-weight LSTM over (T, N, F) -> (T, N, F)."""
+    p = params
+
+    def step(carry, y):
+        h, c = carry
+        f = jax.nn.sigmoid(y @ p["Wf"] + h @ p["Uf"] + p["bf"])
+        j = jax.nn.sigmoid(y @ p["Wj"] + h @ p["Uj"] + p["bj"])
+        o = jax.nn.sigmoid(y @ p["Wo"] + h @ p["Uo"] + p["bo"])
+        ct = jax.nn.sigmoid(y @ p["Wc"] + h @ p["Uc"] + p["bc"])
+        c = j * ct + f * c
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    n = Y.shape[1]
+    carry0 = (jnp.tile(h0, (n, 1)), jnp.tile(c0, (n, 1)))
+    _, Z = jax.lax.scan(step, carry0, Y)
+    return Z
+
+
+@dataclasses.dataclass(frozen=True)
+class WDGCN:
+    """WD-GCN with edge-readout head. hidden_feat = [F1, C]."""
+
+    n_slices: int
+    in_feat: int
+    hidden_feat: tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+    spmm_impl: str = "jnp"
+
+    def init(self, key: jax.Array) -> dict:
+        f0, (f1, c) = self.in_feat, self.hidden_feat
+        k = split_dict(key, ["W", "lstm", "U"])
+        lstm_params, lstm_buffers = _init_lstm(k["lstm"], f1, self.dtype)
+        return {
+            "params": {"W": randn(k["W"], (f0, f1), self.dtype), "lstm": lstm_params},
+            # U frozen at init, never trained (wd_gcn_functions.py:55).
+            "buffers": {"U": randn(k["U"], (2 * f1, c), self.dtype), **lstm_buffers},
+        }
+
+    def embed(self, variables: dict, A: TemporalCOO, X: jax.Array) -> jax.Array:
+        p, b = variables["params"], variables["buffers"]
+        AX = spmm(A, X, impl=self.spmm_impl)
+        Y = jax.nn.relu(jnp.matmul(AX, p["W"].astype(AX.dtype)))
+        return lstm_scan(p["lstm"], b["h_init"], b["c_init"], Y)
+
+    def apply(
+        self, variables: dict, A: TemporalCOO, X: jax.Array, edges: jax.Array
+    ) -> jax.Array:
+        Z = self.embed(variables, A, X)
+        return edge_readout(Z, edges, variables["buffers"]["U"])
+
+
+@dataclasses.dataclass(frozen=True)
+class WDGCNReg:
+    """WD-GCN with per-node linear regression head -> (T, N)."""
+
+    n_slices: int
+    in_feat: int
+    hidden_feat: tuple[int, int]
+    dtype: jnp.dtype = jnp.float32
+    spmm_impl: str = "jnp"
+
+    def init(self, key: jax.Array) -> dict:
+        f0, (f1, _) = self.in_feat, self.hidden_feat
+        k = split_dict(key, ["W", "lstm", "lin_w", "lin_b"])
+        lstm_params, lstm_buffers = _init_lstm(k["lstm"], f1, self.dtype)
+        bound = 1.0 / jnp.sqrt(jnp.asarray(f1, self.dtype))
+        return {
+            "params": {
+                "W": randn(k["W"], (f0, f1), self.dtype),
+                "lstm": lstm_params,
+                "lin_w": jax.random.uniform(
+                    k["lin_w"], (f1, 1), self.dtype, minval=-bound, maxval=bound
+                ),
+                "lin_b": jax.random.uniform(
+                    k["lin_b"], (1,), self.dtype, minval=-bound, maxval=bound
+                ),
+            },
+            "buffers": lstm_buffers,
+        }
+
+    def apply(self, variables: dict, A: TemporalCOO, X: jax.Array) -> jax.Array:
+        p, b = variables["params"], variables["buffers"]
+        AX = spmm(A, X, impl=self.spmm_impl)
+        Y = jax.nn.relu(jnp.matmul(AX, p["W"].astype(AX.dtype)))
+        Z = lstm_scan(p["lstm"], b["h_init"], b["c_init"], Y)
+        out = jnp.matmul(Z, p["lin_w"].astype(Z.dtype)) + p["lin_b"].astype(Z.dtype)
+        return out[..., 0]

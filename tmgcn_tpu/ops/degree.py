@@ -1,0 +1,30 @@
+"""Degree-based node features.
+
+Capability reference: IBM/TM-GCN builds each node's 2-feature signal as
+[in-degree, out-degree] per slice via ``t.sparse.sum(A, 1/2)`` (e.g.
+TensorGCN-master/embedding_help_functions.py:597-609). Here both sums run
+as batched segment reductions over the padded COO arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tmgcn_tpu.core.sparse import TemporalCOO
+
+
+def degree_features(A: TemporalCOO, dtype=jnp.float32) -> jax.Array:
+    """(T, N, 2) features: [:, :, 0] = column sums, [:, :, 1] = row sums.
+
+    Column sums match ``t.sparse.sum(A, 1)`` (sum over row index i, i.e.
+    in-degree of node j); row sums match ``t.sparse.sum(A, 2)``.
+    """
+    N = A.n_nodes
+
+    def one(rows, cols, vals):
+        col_sum = jax.ops.segment_sum(vals, cols, num_segments=N)
+        row_sum = jax.ops.segment_sum(vals, rows, num_segments=N, indices_are_sorted=True)
+        return jnp.stack([col_sum, row_sum], axis=-1)
+
+    return jax.vmap(one)(A.rows, A.cols, A.vals).astype(dtype)

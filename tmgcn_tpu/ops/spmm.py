@@ -1,0 +1,68 @@
+"""Batched sparse-times-dense matmul over the temporal axis.
+
+``spmm(A, X)`` computes ``Y[k] = A[k] @ X[k]`` for every time slice k of a
+:class:`TemporalCOO` tensor — the hot op of every model in the framework
+(capability reference: the ``for k in range(T): torch.sparse.mm`` loops in
+IBM/TM-GCN, e.g. TensorGCN-master/embedding_help_functions.py:203-208).
+
+TPU-first design: instead of a Python loop over slices, all T slices run
+as one batched gather / segment-sum with static shapes:
+
+    Y[k] = segment_sum(vals[k, :, None] * X[k, cols[k]], rows[k])
+
+Entries are row-sorted (see ``TemporalCOO``), so the segment reduction is
+contiguous and deterministic, and its autodiff transpose (the backward
+``A^T dY``) is a gather + scatter-add with the same static shapes.
+
+An optional Pallas path (``tmgcn_tpu.kernels``) implements the same
+contract with explicit VMEM tiling for large graphs; ``spmm`` dispatches
+on the ``impl`` argument so models stay implementation-agnostic.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tmgcn_tpu.core.sparse import TemporalCOO
+
+
+def spmm_slice(
+    rows: jax.Array,
+    cols: jax.Array,
+    vals: jax.Array,
+    x: jax.Array,
+    n_nodes: int,
+) -> jax.Array:
+    """One-slice SpMM: (P,) coo arrays x (N, F) dense -> (N, F)."""
+    gathered = x[cols] * vals[:, None].astype(x.dtype)
+    return jax.ops.segment_sum(
+        gathered, rows, num_segments=n_nodes, indices_are_sorted=True
+    )
+
+
+def spmm(A: TemporalCOO, X: jax.Array, impl: str = "jnp") -> jax.Array:
+    """Batched per-slice SpMM: Y[k] = A[k] @ X[k].
+
+    Args:
+        A: temporal sparse tensor, T slices of N x N.
+        X: dense (T, N, F) features.
+        impl: "jnp" (gather/segment-sum) or "pallas" (TPU kernel).
+
+    Returns:
+        (T, N, F) dense result, dtype of X.
+    """
+    if impl == "pallas":
+        from tmgcn_tpu.kernels.spmm_pallas import spmm_pallas
+
+        return spmm_pallas(A, X)
+    if impl != "jnp":
+        raise ValueError(f"unknown spmm impl: {impl!r}")
+    return jax.vmap(lambda r, c, v, x: spmm_slice(r, c, v, x, A.n_nodes))(
+        A.rows, A.cols, A.vals, X
+    )
+
+
+def spmm_dense_reference(A_dense: jax.Array, X: jax.Array) -> jax.Array:
+    """Dense oracle for tests: einsum over materialized (T, N, N)."""
+    return jnp.einsum("tij,tjf->tif", A_dense, X)
