@@ -8,7 +8,10 @@ initializes, hence the env vars at import time.
 
 import os
 
+# NOTE: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME is
+# the variable that actually selects the CPU backend under it. Set both.
 os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

@@ -1,0 +1,210 @@
+"""Tasks layer: sampling, windowing, and end-to-end training loops."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmgcn_tpu.core.mmatrix import make_m_matrix
+from tmgcn_tpu.ops.degree import degree_features
+from tmgcn_tpu.ops.mtransform import m_transform_coo
+from tmgcn_tpu.models.evolvegcn import EvolveGCN
+from tmgcn_tpu.models.tmgcn import TMGCN, TMGCNReg
+from tmgcn_tpu.models.wdgcn import WDGCNReg
+from tmgcn_tpu.preprocess.sbm import sbm_temporal_adjacency
+from tmgcn_tpu.preprocess.seir import (
+    seir_features_targets,
+    seir_temporal_adjacency,
+    simulate_seir,
+)
+from tmgcn_tpu.tasks.adapters import make_edge_adapter, make_regression_adapter
+from tmgcn_tpu.tasks.sampling import augment_edges
+from tmgcn_tpu.tasks.windows import (
+    WindowSpec,
+    split_data_link_prediction,
+    split_edges_classification,
+    window_features,
+)
+from tmgcn_tpu.train.loop import (
+    TrainConfig,
+    run_edge_classification,
+    run_link_prediction,
+    run_regression,
+)
+
+
+class TestAugmentEdges:
+    def test_counts_and_labels(self):
+        rng = np.random.default_rng(0)
+        E = 60
+        edges = np.stack(
+            [rng.integers(0, 4, E), rng.integers(0, 50, E), rng.integers(0, 50, E)]
+        )
+        aug, labels = augment_edges(edges, 50, beta1=3, beta2=1, cutoff=2, seed=1)
+        for j in range(4):
+            n_real = np.sum(edges[0] == j)
+            beta = 3 if j < 2 else 1
+            assert np.sum(aug[0] == j) == (1 + beta) * n_real
+        assert np.sum(labels == 0) == E
+        assert np.all(np.diff(aug[0]) >= 0)
+
+    def test_no_collisions(self):
+        rng = np.random.default_rng(2)
+        E = 40
+        edges = np.stack(
+            [np.zeros(E, dtype=np.int64), rng.integers(0, 12, E), rng.integers(0, 12, E)]
+        )
+        aug, labels = augment_edges(edges, 12, beta1=2, beta2=2, cutoff=1, seed=3)
+        real = set(map(tuple, edges[1:3].T.tolist()))
+        fakes = aug[1:3, labels == 1].T
+        for e in map(tuple, fakes.tolist()):
+            assert e not in real
+
+
+class TestWindows:
+    def test_same_block_bounds(self):
+        spec = WindowSpec(8, 2, 3, same_block_size=True)
+        assert spec.bounds("train") == (0, 8)
+        assert spec.bounds("val") == (2, 10)
+        assert spec.bounds("test") == (5, 13)
+
+    def test_disjoint_bounds(self):
+        spec = WindowSpec(8, 2, 3, same_block_size=False)
+        assert spec.bounds("val") == (8, 10)
+        assert spec.bounds("test") == (10, 13)
+
+    def test_classification_split(self):
+        spec = WindowSpec(4, 1, 1, same_block_size=True)
+        edge_index = np.stack([np.arange(6), np.arange(6), np.arange(6)])
+        vals = np.array([1.0, -2.0, 3.0, -1.0, 2.0, -5.0])
+        splits = split_edges_classification(edge_index, vals, spec)
+        np.testing.assert_array_equal(splits["train"].edges[0], [0, 1, 2, 3])
+        np.testing.assert_array_equal(splits["train"].target, [1, 0, 1, 0])
+        np.testing.assert_array_equal(splits["val"].edges[0], [0, 1, 2, 3])
+        # val tail: rebased slice >= s_train - s_val = 3.
+        np.testing.assert_array_equal(splits["val"].eval_mask, [False, False, False, True])
+
+    def test_lp_split_shift(self):
+        spec = WindowSpec(4, 1, 1, same_block_size=True)
+        edges = np.stack([np.array([0, 1, 1, 2, 3, 4, 5]), np.arange(7), np.arange(7)])
+        labels = np.array([0, 0, 1, 0, 0, 0, 1])
+        splits = split_data_link_prediction(edges, labels, spec)
+        tr = splits["train"]
+        np.testing.assert_array_equal(tr.edges[0], [0, 1, 1, 2, 3])
+        np.testing.assert_array_equal(tr.model_edges[0], [0, 0, 1, 2])
+        # val window [1, 5): slices rebased to [0,4); tail K counts slice >= 3.
+        va = splits["val"]
+        np.testing.assert_array_equal(va.edges[0], [0, 0, 1, 2, 3])
+        assert va.n_eval_tail == 1
+
+
+def _sbm_setup(task):
+    N, T = 80, 12
+    spec = WindowSpec(8, 2, 2, same_block_size=True)
+    A = sbm_temporal_adjacency(N, T, node_change_num=4, p_in=0.15, p_out=0.03, seed=0,
+                               dtype=jnp.float64)
+    M = make_m_matrix(spec.s_train, 4)
+    X = np.asarray(degree_features(A, dtype=jnp.float64))
+    feats = window_features(X, spec)
+    windows = {w: A.slice_window(*spec.bounds(w)) for w in ("train", "val", "test")}
+    Ct = {w: m_transform_coo(windows[w], M) for w in windows}
+    return N, spec, A, M, feats, windows, Ct
+
+
+class TestEndToEndLinkPrediction:
+    def test_sbm_tmgcn(self):
+        N, spec, A, M, feats, windows, Ct = _sbm_setup("lp")
+        edges = np.stack(np.nonzero(np.asarray(A.to_dense()))).astype(np.int64)
+        aug, labels = augment_edges(edges[:3], N, 5, 5, spec.s_train, seed=0)
+        splits = split_data_link_prediction(aug, labels, spec)
+
+        model = TMGCN(
+            n_slices=spec.s_train - 1, in_feat=2, hidden_feat=(6, 2), dtype=jnp.float64
+        )
+        adapter = make_edge_adapter(
+            model,
+            Ct,
+            feats,
+            {w: splits[w].model_edges for w in splits},
+            M=M,
+            drop_last_slice=True,
+        )
+        cfg = TrainConfig(n_epochs=6, eval_every=5)
+        results, _ = run_link_prediction(adapter, splits, np.array([0.9, 0.1]), cfg)
+        assert results.shape == (6, 9)
+        assert np.all(np.isfinite(results[-1]))
+        assert 0.0 < results[5, 3] <= 1.0  # val MAP refreshed at ep 5
+
+    def test_sbm_evolvegcn(self):
+        N, spec, A, M, feats, windows, Ct = _sbm_setup("lp")
+        edges = np.stack(np.nonzero(np.asarray(A.to_dense()))).astype(np.int64)
+        aug, labels = augment_edges(edges[:3], N, 3, 3, spec.s_train, seed=1)
+        splits = split_data_link_prediction(aug, labels, spec)
+
+        model = EvolveGCN(
+            n_slices=spec.s_train - 1, in_feat=2, hidden_feat=(2, 2), dtype=jnp.float64
+        )
+        adapter = make_edge_adapter(
+            model,
+            windows,
+            feats,
+            {w: splits[w].model_edges for w in splits},
+            drop_last_slice=True,
+        )
+        # Small lr: raw randn init makes EvolveGCN diverge at lr=0.01 on
+        # this data (the reference's unseeded runs share this behavior).
+        cfg = TrainConfig(n_epochs=3, eval_every=2, lr=1e-4)
+        results, _ = run_link_prediction(adapter, splits, np.array([0.9, 0.1]), cfg)
+        assert results.shape == (3, 9)
+        assert np.all(np.isfinite(results[0]))
+        assert np.all(np.isfinite(results[-1]))
+
+
+class TestEndToEndClassification:
+    def test_sbm_signed(self):
+        N, spec, A, M, feats, windows, Ct = _sbm_setup("cls")
+        # Synthesize signed labels on the SBM edges.
+        rng = np.random.default_rng(5)
+        dense = np.asarray(A.to_dense())
+        idx = np.stack(np.nonzero(dense)).astype(np.int64)
+        vals = rng.choice([-1.0, 1.0], size=idx.shape[1], p=[0.3, 0.7])
+        splits = split_edges_classification(idx, vals, spec, n_classes=2)
+
+        model = TMGCN(n_slices=spec.s_train, in_feat=2, hidden_feat=(6, 2), dtype=jnp.float64)
+        adapter = make_edge_adapter(
+            model, Ct, feats, {w: splits[w].edges for w in splits}, M=M
+        )
+        cfg = TrainConfig(n_epochs=5, eval_every=2)
+        results, _ = run_edge_classification(adapter, splits, np.array([0.85, 0.15]), cfg)
+        assert results.shape == (5, 12)
+        assert np.isfinite(results[-1, 3])
+
+
+class TestEndToEndRegression:
+    @pytest.mark.parametrize("family", ["tmgcn", "wdgcn"])
+    def test_seir(self, family):
+        data = simulate_seir(n_nodes=60, n_slices=20, seed=0)
+        spec = WindowSpec(14, 3, 3, same_block_size=True)
+        X, y = seir_features_targets(data)
+        A = seir_temporal_adjacency(data, dtype=jnp.float64)
+        M = make_m_matrix(spec.s_train, 5)
+        feats = window_features(X, spec)
+        targets = window_features(y, spec)
+        windows = {w: A.slice_window(*spec.bounds(w)) for w in ("train", "val", "test")}
+        if family == "tmgcn":
+            Ct = {w: m_transform_coo(windows[w], M) for w in windows}
+            model = TMGCNReg(
+                n_slices=spec.s_train, in_feat=5, hidden_feat=(6, 2), dtype=jnp.float64
+            )
+            adapter = make_regression_adapter(model, Ct, feats, M=M)
+        else:
+            model = WDGCNReg(
+                n_slices=spec.s_train, in_feat=5, hidden_feat=(6, 2), dtype=jnp.float64
+            )
+            adapter = make_regression_adapter(model, windows, feats)
+        # Tiny lr: with raw randn init the summed-per-slice MSE yields huge
+        # gradients on this data and the loop diverges otherwise (the
+        # reference's SGD setup behaves identically on ill-scaled inputs).
+        cfg = TrainConfig(n_epochs=5, lr=1e-7)
+        result, _ = run_regression(adapter, targets, cfg)
+        assert len(result["train_loss"]) == 5
+        assert np.isfinite(result["val_l1"]) and np.isfinite(result["test_l1_ratio"])

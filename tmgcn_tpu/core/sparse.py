@@ -13,6 +13,11 @@ Design (TPU-first):
     deterministic — no nondeterministic scatter-adds in the backward pass.
   * Padding entries use row = col = 0 with val = 0.0, which contribute
     nothing to any accumulation.
+  * Constructors produce *host* (numpy) arrays: preprocessing never
+    bounces through the accelerator (device transfers through a TPU
+    tunnel are expensive). The container is a pytree, so
+    ``jax.device_put`` moves it on-device once when it enters a model
+    (the task adapters do this).
 
 Capability reference: the per-slice ``torch.sparse.FloatTensor`` lists in
 IBM/TM-GCN (e.g. TensorGCN-master/experiment_bitcoin_our.py:53-64 and
@@ -119,10 +124,10 @@ class TemporalCOO:
             nnz[k] = n
 
         return TemporalCOO(
-            rows=jnp.asarray(rows),
-            cols=jnp.asarray(cols),
-            vals=jnp.asarray(vals, dtype=dtype),
-            nnz=jnp.asarray(nnz),
+            rows=rows,
+            cols=cols,
+            vals=vals.astype(dtype),
+            nnz=nnz,
             n_nodes=int(n_nodes),
         )
 
@@ -193,12 +198,36 @@ class TemporalCOO:
             new_cols[k, :n] = rows[k, :n][order]
             new_vals[k, :n] = vals[k, :n][order]
         return TemporalCOO(
-            rows=jnp.asarray(new_rows),
-            cols=jnp.asarray(new_cols),
-            vals=jnp.asarray(new_vals),
-            nnz=self.nnz,
+            rows=new_rows,
+            cols=new_cols,
+            vals=new_vals,
+            nnz=np.asarray(self.nnz),
             n_nodes=self.n_nodes,
         )
+
+    def edge_list(self, with_values: bool = False):
+        """Host-side (3, E) [slice, row, col] of all true nonzeros.
+
+        Avoids any dense materialization or device round-trip; this is
+        the fast path for extracting the labeled-edge set from an
+        adjacency tensor.
+        """
+        rows = np.asarray(self.rows)
+        cols = np.asarray(self.cols)
+        vals = np.asarray(self.vals)
+        nnz = np.asarray(self.nnz)
+        parts, vparts = [], []
+        for k in range(self.n_slices):
+            n = int(nnz[k])
+            parts.append(
+                np.stack([np.full(n, k, dtype=np.int64), rows[k, :n], cols[k, :n]])
+            )
+            if with_values:
+                vparts.append(vals[k, :n])
+        edges = np.concatenate(parts, axis=1) if parts else np.zeros((3, 0), np.int64)
+        if with_values:
+            return edges, (np.concatenate(vparts) if vparts else np.zeros(0))
+        return edges
 
     def slice_window(self, start: int, end: int) -> "TemporalCOO":
         """Select slices [start, end) along the time axis."""

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from tmgcn_tpu.core.sparse import TemporalCOO
 
@@ -28,3 +29,20 @@ def degree_features(A: TemporalCOO, dtype=jnp.float32) -> jax.Array:
         return jnp.stack([col_sum, row_sum], axis=-1)
 
     return jax.vmap(one)(A.rows, A.cols, A.vals).astype(dtype)
+
+
+def degree_features_np(A: TemporalCOO) -> np.ndarray:
+    """Host-side (numpy) variant for data preparation.
+
+    Avoids device round-trips during preprocessing — important when the
+    accelerator sits behind a network tunnel.
+    """
+    rows = np.asarray(A.rows)
+    cols = np.asarray(A.cols)
+    vals = np.asarray(A.vals, dtype=np.float64)
+    T = A.n_slices
+    out = np.zeros((T, A.n_nodes, 2))
+    for k in range(T):
+        np.add.at(out[k, :, 0], cols[k], vals[k])
+        np.add.at(out[k, :, 1], rows[k], vals[k])
+    return out
