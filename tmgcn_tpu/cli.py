@@ -1,0 +1,116 @@
+"""Command-line entry point.
+
+    python -m tmgcn_tpu.cli list
+    python -m tmgcn_tpu.cli run chess_tmgcn_cls --data-dir data/chess \
+        --epochs 500 --alphas 0.9 --out results/
+    python -m tmgcn_tpu.cli preprocess chess --data-dir data/chess
+
+Replaces the reference's edit-the-script configuration (every experiment
+is a named preset; every reference setting is a flag).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import pickle
+import time
+from pathlib import Path
+
+import numpy as np
+
+
+def _cmd_list(args) -> int:
+    from tmgcn_tpu.configs.presets import PRESETS
+
+    for name in sorted(PRESETS):
+        cfg = PRESETS[name]
+        print(f"{name:32s} dataset={cfg.dataset:14s} method={cfg.method:10s} task={cfg.task}")
+    return 0
+
+
+def _cmd_preprocess(args) -> int:
+    from tmgcn_tpu.preprocess.datasets import REGISTRY, load_raw
+    from tmgcn_tpu.preprocess.matio import save_artifact
+    from tmgcn_tpu.preprocess.pipeline import preprocess
+
+    spec = REGISTRY[args.dataset]
+    t0 = time.time()
+    raw = load_raw(spec, args.data_dir)
+    data = preprocess(raw, spec.preprocess)
+    out = Path(args.out or args.data_dir) / f"saved_content_{args.dataset}.mat"
+    save_artifact(out, data)
+    print(
+        f"{args.dataset}: N={raw.n_nodes} T={raw.n_slices} "
+        f"edges={len(raw.src)} -> {out} in {time.time() - t0:.1f}s"
+    )
+    return 0
+
+
+def _cmd_run(args) -> int:
+    from tmgcn_tpu.configs.build import run_experiment
+    from tmgcn_tpu.configs.presets import get_preset
+
+    cfg = get_preset(args.preset)
+    alphas = tuple(args.alphas) if args.alphas else None
+    t0 = time.time()
+    out = run_experiment(
+        cfg,
+        data_dir=args.data_dir,
+        artifact=args.artifact,
+        n_epochs=args.epochs,
+        alpha_vec=alphas,
+        verbose=not args.quiet,
+    )
+    elapsed = time.time() - t0
+    print(f"{cfg.name}: {len(out['results'])} runs in {elapsed:.1f}s")
+
+    if args.out:
+        out_dir = Path(args.out)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        for (tr, alpha), res in out["results"].items():
+            tag = f"{cfg.name}_tr{tr}" + (f"_w{round((alpha or 0) * 100)}" if alpha else "")
+            with open(out_dir / f"results_{tag}.pkl", "wb") as f:
+                pickle.dump(res, f)
+        summary = {
+            "preset": cfg.name,
+            "elapsed_s": elapsed,
+            "runs": len(out["results"]),
+        }
+        (out_dir / f"summary_{cfg.name}.json").write_text(json.dumps(summary, indent=2))
+        print(f"results written to {out_dir}")
+    return 0
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser(prog="tmgcn_tpu")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    sub.add_parser("list", help="list experiment presets")
+
+    pp = sub.add_parser("preprocess", help="raw edge list -> .mat artifact")
+    pp.add_argument("dataset")
+    pp.add_argument("--data-dir", required=True)
+    pp.add_argument("--out")
+
+    rp = sub.add_parser("run", help="run an experiment preset")
+    rp.add_argument("preset")
+    rp.add_argument("--data-dir")
+    rp.add_argument("--artifact")
+    rp.add_argument("--epochs", type=int)
+    rp.add_argument("--alphas", type=float, nargs="*")
+    rp.add_argument("--out")
+    rp.add_argument("--quiet", action="store_true")
+
+    args = ap.parse_args(argv)
+    if args.cmd == "list":
+        return _cmd_list(args)
+    if args.cmd == "preprocess":
+        return _cmd_preprocess(args)
+    if args.cmd == "run":
+        return _cmd_run(args)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

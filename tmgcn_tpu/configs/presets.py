@@ -1,0 +1,104 @@
+"""Preset configs reproducing every reference experiment.
+
+The reference's 37 driver scripts (SURVEY.md §1: {bitcoin_otc,
+bitcoin_alpha, chess, reddit, uci, amlsim} x {tmgcn, gcn, evolvegcn,
+wdgcn} x {edge classification, link prediction} minus nonexistent cells,
+plus SBM link prediction and SEIR regression) collapse into this
+generated registry. ``get_preset(name)`` returns the exact reference
+hyperparameters; runners may override epochs/alphas for smoke runs.
+"""
+
+from __future__ import annotations
+
+from tmgcn_tpu.configs.schema import ALPHA_SWEEP_CLS, ExperimentConfig
+
+METHODS = ("tmgcn", "gcn", "evolvegcn", "wdgcn")
+CLS_DATASETS = ("bitcoin_otc", "bitcoin_alpha", "chess", "reddit", "amlsim")
+LP_DATASETS = ("bitcoin_otc", "bitcoin_alpha", "chess", "reddit", "uci")
+
+
+def _build_registry() -> dict[str, ExperimentConfig]:
+    registry: dict[str, ExperimentConfig] = {}
+
+    for ds in CLS_DATASETS:
+        n_classes = 3 if ds == "chess" else 2
+        for method in METHODS:
+            name = f"{ds}_{method}_cls"
+            registry[name] = ExperimentConfig(
+                name=name,
+                dataset=ds,
+                method=method,
+                task="edge_cls",
+                hidden_feat=(6, n_classes),
+                n_classes=n_classes,
+                alpha_vec=ALPHA_SWEEP_CLS,
+                n_epochs=10_000,
+                cutoff=95,
+                same_block_size=(method == "tmgcn"),
+            )
+
+    for ds in LP_DATASETS:
+        for method in METHODS:
+            name = f"{ds}_{method}_lp"
+            extra = {}
+            if ds == "uci" and method == "tmgcn":
+                # The one 2-layer + M^2/M^3 configuration
+                # (experiment_uci_our_link_prediction.py:69).
+                extra = dict(
+                    n_layers=2,
+                    hidden_feat=(6, 6, 2),
+                    apply_M_twice=True,
+                    apply_M_three_times=True,
+                )
+            registry[name] = ExperimentConfig(
+                name=name,
+                dataset=ds,
+                method=method,
+                task="link_pred",
+                alpha_vec=(0.9,),
+                n_epochs=1_000,
+                beta1=19,
+                beta2=19,
+                cutoff=95,
+                same_block_size=(method == "tmgcn"),
+                **extra,
+            )
+
+    for method in ("tmgcn", "evolvegcn"):
+        name = f"sbm_{method}_lp"
+        registry[name] = ExperimentConfig(
+            name=name,
+            dataset="sbm",
+            method=method,
+            task="link_pred",
+            alpha_vec=(0.9,),
+            n_epochs=100,
+            beta1=19,
+            beta2=19,
+            cutoff=35,
+        )
+
+    for method in ("tmgcn", "evolvegcn", "wdgcn"):
+        name = f"seir_{method}_reg"
+        registry[name] = ExperimentConfig(
+            name=name,
+            dataset="seir",
+            method=method,
+            task="regression",
+            hidden_feat=(6, 2),
+            n_epochs=100,
+        )
+
+    return registry
+
+
+PRESETS: dict[str, ExperimentConfig] = _build_registry()
+
+
+def get_preset(name: str) -> ExperimentConfig:
+    try:
+        return PRESETS[name]
+    except KeyError:
+        raise KeyError(
+            f"unknown preset {name!r}; available: {', '.join(sorted(PRESETS))}"
+        ) from None

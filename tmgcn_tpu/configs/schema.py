@@ -1,0 +1,75 @@
+"""Typed experiment configuration.
+
+One config schema covering every reference experiment (the union of the
+per-script ``# Settings`` blocks catalogued in SURVEY.md §5): the 32
+``experiment_*`` scripts, the SBM link-prediction scripts, and the SEIR
+regression scripts all become instances of :class:`ExperimentConfig`
+(see ``tmgcn_tpu.configs.presets``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class ExperimentConfig:
+    name: str
+    dataset: str  # registry key, "sbm", or "seir"
+    method: str  # "tmgcn" | "gcn" | "evolvegcn" | "wdgcn"
+    task: str  # "edge_cls" | "link_pred" | "regression"
+
+    # Model
+    n_layers: int = 1
+    hidden_feat: tuple[int, ...] = (6, 2)
+    condensed_W: bool = True
+    use_Minv: bool = False
+    apply_M_twice: bool = False
+    apply_M_three_times: bool = False
+    nonlin2: str = "selu"
+
+    # Training
+    alpha_vec: tuple[float, ...] = (0.9,)
+    n_epochs: int = 1000
+    n_trials: int = 1
+    lr: float = 0.01
+    momentum: float = 0.9
+    eval_every: int = 100
+
+    # Link prediction (negative sampling)
+    beta1: int = 19
+    beta2: int = 19
+    cutoff: int = 95
+    loss_type: str = "softmax"  # "softmax" | "sigmoid"
+    eval_type: str = "MAP-MRR"  # "MAP-MRR" | "F1"
+
+    # Windowing — TM-GCN uses width-S_train shifted windows; baselines on
+    # classification (and LP in the reference) use disjoint windows.
+    same_block_size: bool = True
+
+    # Data
+    n_classes: int = 2
+    seed: int = 0
+    dtype: str = "float32"
+    spmm_impl: str = "jnp"
+
+    # Synthetic-data parameters (sbm / seir)
+    sbm_n_nodes: int = 1000
+    sbm_n_slices: int = 50
+    sbm_node_change: int = 10
+    seir_n_nodes: int = 200
+    seir_n_slices: int = 100
+    seir_out_idx: int = 2
+
+    # Regression head feature count is inferred from the data.
+
+    def __post_init__(self):
+        if self.method not in ("tmgcn", "gcn", "evolvegcn", "wdgcn"):
+            raise ValueError(f"unknown method {self.method!r}")
+        if self.task not in ("edge_cls", "link_pred", "regression"):
+            raise ValueError(f"unknown task {self.task!r}")
+        if len(self.hidden_feat) != self.n_layers + 1:
+            raise ValueError("hidden_feat must have n_layers + 1 entries")
+
+
+ALPHA_SWEEP_CLS = tuple(round(0.75 + 0.01 * i, 2) for i in range(21))

@@ -57,9 +57,21 @@ class KWGCN:
             raise ValueError("KWGCN supports 1 or 2 layers")
         return {"params": params, "buffers": {}}
 
-    def embed(self, variables: dict, C: TemporalCOO, X: jax.Array) -> jax.Array:
+    def propagate(self, C: TemporalCOO, X: jax.Array) -> jax.Array:
+        """First-layer AX — parameter-independent, cacheable (the
+        reference caches it at init, embedding_help_functions.py:464)."""
+        return spmm(C, X, impl=self.spmm_impl)
+
+    def embed(
+        self,
+        variables: dict,
+        C: TemporalCOO,
+        X: jax.Array,
+        AX: jax.Array | None = None,
+    ) -> jax.Array:
         p = variables["params"]
-        AX = spmm(C, X, impl=self.spmm_impl)
+        if AX is None:
+            AX = self.propagate(C, X)
         if self.n_layers == 2:
             Y = nonlinearity(self.nonlin2)(jnp.matmul(AX, p["W1"].astype(AX.dtype)))
             if self.interlayer_dtype is not None:
@@ -70,7 +82,12 @@ class KWGCN:
         return Z
 
     def apply(
-        self, variables: dict, C: TemporalCOO, X: jax.Array, edges: jax.Array
+        self,
+        variables: dict,
+        C: TemporalCOO,
+        X: jax.Array,
+        edges: jax.Array,
+        AX: jax.Array | None = None,
     ) -> jax.Array:
-        Z = self.embed(variables, C, X).astype(self.dtype)
+        Z = self.embed(variables, C, X, AX).astype(self.dtype)
         return edge_readout(Z, edges, variables["params"]["U"])

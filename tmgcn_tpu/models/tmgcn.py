@@ -60,9 +60,26 @@ class TMGCN:
             "buffers": {},
         }
 
-    def embed(self, variables: dict, Ct: TemporalCOO, X: jax.Array, M: jax.Array) -> jax.Array:
+    def propagate(self, Ct: TemporalCOO, X: jax.Array, M: jax.Array) -> jax.Array:
+        """AtXt = Ct ⊛ (M ×₁ X) — parameter-independent, cacheable.
+
+        The reference computes this once at model construction and trains
+        on the cached tensor (embedding_help_functions.py:195); adapters
+        do the same via the ``AtXt`` argument below.
+        """
+        return spmm(Ct, m_transform(M, X), impl=self.spmm_impl)
+
+    def embed(
+        self,
+        variables: dict,
+        Ct: TemporalCOO,
+        X: jax.Array,
+        M: jax.Array,
+        AtXt: jax.Array | None = None,
+    ) -> jax.Array:
         """(T, N, F1) node embeddings (the pre-readout tensor Y)."""
-        AtXt = spmm(Ct, m_transform(M, X), impl=self.spmm_impl)
+        if AtXt is None:
+            AtXt = self.propagate(Ct, X, M)
         Y = jnp.matmul(AtXt, variables["params"]["W"].astype(AtXt.dtype))
         if self.use_Minv:
             Y = m_transform_inverse(M, Y)
@@ -75,9 +92,10 @@ class TMGCN:
         X: jax.Array,
         edges: jax.Array,
         M: jax.Array,
+        AtXt: jax.Array | None = None,
     ) -> jax.Array:
         """(E, C) edge logits."""
-        Y = self.embed(variables, Ct, X, M)
+        Y = self.embed(variables, Ct, X, M, AtXt)
         return edge_readout(Y, edges, variables["params"]["U"])
 
 
@@ -124,11 +142,23 @@ class TMGCN2:
             "buffers": {},
         }
 
-    def embed(self, variables: dict, Ct: TemporalCOO, X: jax.Array, M: jax.Array) -> jax.Array:
+    def propagate(self, Ct: TemporalCOO, X: jax.Array, M: jax.Array) -> jax.Array:
+        """First-layer AtXt — parameter-independent, cacheable."""
+        return spmm(Ct, m_transform(M, X), impl=self.spmm_impl)
+
+    def embed(
+        self,
+        variables: dict,
+        Ct: TemporalCOO,
+        X: jax.Array,
+        M: jax.Array,
+        AtXt: jax.Array | None = None,
+    ) -> jax.Array:
         p = variables["params"]
         nonlin = nonlinearity(self.nonlin2)
 
-        AtXt = spmm(Ct, m_transform(M, X), impl=self.spmm_impl)
+        if AtXt is None:
+            AtXt = self.propagate(Ct, X, M)
         Y = jnp.matmul(AtXt, p["W1"].astype(AtXt.dtype))
         if self.use_Minv:
             Y = m_transform_inverse(M, Y)
@@ -155,8 +185,9 @@ class TMGCN2:
         X: jax.Array,
         edges: jax.Array,
         M: jax.Array,
+        AtXt: jax.Array | None = None,
     ) -> jax.Array:
-        Z = self.embed(variables, Ct, X, M)
+        Z = self.embed(variables, Ct, X, M, AtXt)
         # Reference casts edge embeddings back to float32 at the head
         # (embedding_help_functions.py:355).
         Z = Z.astype(self.dtype)
@@ -194,9 +225,20 @@ class TMGCNReg:
             "buffers": {},
         }
 
-    def apply(self, variables: dict, Ct: TemporalCOO, X: jax.Array, M: jax.Array) -> jax.Array:
+    def propagate(self, Ct: TemporalCOO, X: jax.Array, M: jax.Array) -> jax.Array:
+        return spmm(Ct, m_transform(M, X), impl=self.spmm_impl)
+
+    def apply(
+        self,
+        variables: dict,
+        Ct: TemporalCOO,
+        X: jax.Array,
+        M: jax.Array,
+        AtXt: jax.Array | None = None,
+    ) -> jax.Array:
         p = variables["params"]
-        AtXt = spmm(Ct, m_transform(M, X), impl=self.spmm_impl)
+        if AtXt is None:
+            AtXt = self.propagate(Ct, X, M)
         Y = jnp.matmul(AtXt, p["W"].astype(AtXt.dtype))
         if self.use_Minv:
             Y = m_transform_inverse(M, Y)

@@ -80,16 +80,32 @@ class WDGCN:
             "buffers": {"U": randn(k["U"], (2 * f1, c), self.dtype), **lstm_buffers},
         }
 
-    def embed(self, variables: dict, A: TemporalCOO, X: jax.Array) -> jax.Array:
+    def propagate(self, A: TemporalCOO, X: jax.Array) -> jax.Array:
+        """AX — parameter-independent, cacheable (wd_gcn_functions.py:33)."""
+        return spmm(A, X, impl=self.spmm_impl)
+
+    def embed(
+        self,
+        variables: dict,
+        A: TemporalCOO,
+        X: jax.Array,
+        AX: jax.Array | None = None,
+    ) -> jax.Array:
         p, b = variables["params"], variables["buffers"]
-        AX = spmm(A, X, impl=self.spmm_impl)
+        if AX is None:
+            AX = self.propagate(A, X)
         Y = jax.nn.relu(jnp.matmul(AX, p["W"].astype(AX.dtype)))
         return lstm_scan(p["lstm"], b["h_init"], b["c_init"], Y)
 
     def apply(
-        self, variables: dict, A: TemporalCOO, X: jax.Array, edges: jax.Array
+        self,
+        variables: dict,
+        A: TemporalCOO,
+        X: jax.Array,
+        edges: jax.Array,
+        AX: jax.Array | None = None,
     ) -> jax.Array:
-        Z = self.embed(variables, A, X)
+        Z = self.embed(variables, A, X, AX)
         return edge_readout(Z, edges, variables["buffers"]["U"])
 
 
@@ -122,9 +138,16 @@ class WDGCNReg:
             "buffers": lstm_buffers,
         }
 
-    def apply(self, variables: dict, A: TemporalCOO, X: jax.Array) -> jax.Array:
+    def apply(
+        self,
+        variables: dict,
+        A: TemporalCOO,
+        X: jax.Array,
+        AX: jax.Array | None = None,
+    ) -> jax.Array:
         p, b = variables["params"], variables["buffers"]
-        AX = spmm(A, X, impl=self.spmm_impl)
+        if AX is None:
+            AX = spmm(A, X, impl=self.spmm_impl)
         Y = jax.nn.relu(jnp.matmul(AX, p["W"].astype(AX.dtype)))
         Z = lstm_scan(p["lstm"], b["h_init"], b["c_init"], Y)
         out = jnp.matmul(Z, p["lin_w"].astype(Z.dtype)) + p["lin_b"].astype(Z.dtype)

@@ -1,0 +1,99 @@
+""".mat artifact IO, byte-compatible with the reference pipeline.
+
+The reference persists preprocessing as a MATLAB .mat file with 1-based
+subscript arrays (keys: A_subs/A_vals, A_labels_subs/A_labels_vals,
+C_subs/C_vals, C_{train,val,test}_subs/vals, Ct_{train,val,test}_subs/
+vals, M — read_data.m:211-232) that the experiment drivers re-load and
+shift to 0-based (experiment_bitcoin_our.py:44-48). This module writes
+artifacts in that exact schema and loads either ours or
+reference-generated files, so parity runs can consume byte-identical
+inputs.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+
+import numpy as np
+import scipy.io as sio
+
+from tmgcn_tpu.core.sparse import TemporalCOO
+from tmgcn_tpu.preprocess.pipeline import PreprocessedData
+
+
+def _subs_vals(A: TemporalCOO) -> tuple[np.ndarray, np.ndarray]:
+    """(nnz, 3) 1-based subscripts and (nnz,) values, MATLAB layout."""
+    edges, vals = A.edge_list(with_values=True)
+    return (edges.T + 1).astype(np.float64), vals
+
+
+def save_artifact(path: str | Path, data: PreprocessedData) -> None:
+    out = {}
+    for key, tensor in [
+        ("A", data.A),
+        ("A_labels", data.A_labels),
+        ("C", data.C),
+        ("C_train", data.C_windows["train"]),
+        ("C_val", data.C_windows["val"]),
+        ("C_test", data.C_windows["test"]),
+        ("Ct_train", data.Ct_windows["train"]),
+        ("Ct_val", data.Ct_windows["val"]),
+        ("Ct_test", data.Ct_windows["test"]),
+    ]:
+        subs, vals = _subs_vals(tensor)
+        out[f"{key}_subs"] = subs
+        out[f"{key}_vals"] = vals.reshape(-1, 1)
+    out["M"] = np.asarray(data.M)
+    sio.savemat(str(path), out)
+
+
+def _tensor_from_keys(
+    content: dict, key: str, n_slices: int, n_nodes: int, pad_multiple: int = 128
+) -> TemporalCOO:
+    subs = np.asarray(content[f"{key}_subs"], dtype=np.int64)
+    vals = np.asarray(content[f"{key}_vals"], dtype=np.float64).ravel()
+    if subs.shape[0] == 3 and subs.shape[1] != 3:
+        subs = subs.T  # tolerate (3, nnz) layouts
+    t, r, c = subs[:, 0] - 1, subs[:, 1] - 1, subs[:, 2] - 1
+    return TemporalCOO.from_global_coo(
+        t, r, c, vals, n_slices, n_nodes, pad_multiple=pad_multiple
+    )
+
+
+def load_artifact(
+    path: str | Path, s_train: int, pad_multiple: int = 128
+) -> dict:
+    """Load a reference-schema .mat artifact.
+
+    Returns dict with A, A_labels (full tensors), Ct windows (width
+    s_train each), M, n_nodes, n_slices — the exact inputs the
+    experiment drivers consume (experiment_bitcoin_our.py:36-64).
+    """
+    content = sio.loadmat(str(path))
+    labels_subs = np.asarray(content["A_labels_subs"], dtype=np.int64)
+    if labels_subs.shape[0] == 3 and labels_subs.shape[1] != 3:
+        labels_subs = labels_subs.T
+    T = int(labels_subs[:, 0].max())
+    N = int(max(labels_subs[:, 1].max(), labels_subs[:, 2].max()))
+
+    out = {
+        "A_labels": _tensor_from_keys(content, "A_labels", T, N, pad_multiple),
+        "M": np.asarray(content["M"], dtype=np.float64),
+        "n_nodes": N,
+        "n_slices": T,
+    }
+    if "A_subs" in content:
+        out["A"] = _tensor_from_keys(content, "A", T, N, pad_multiple)
+    # The drivers rebuild A as ones on A_labels' support
+    # (experiment_bitcoin_our.py:50); replicate for degree-feature parity.
+    t_, r_, c_ = labels_subs[:, 0] - 1, labels_subs[:, 1] - 1, labels_subs[:, 2] - 1
+    out["A_binary"] = TemporalCOO.from_global_coo(
+        t_, r_, c_, np.ones(len(t_)), T, N, pad_multiple=pad_multiple
+    )
+    out["Ct"] = {
+        w: _tensor_from_keys(content, f"Ct_{w}", s_train, N, pad_multiple)
+        for w in ("train", "val", "test")
+    }
+    if "C_subs" in content:
+        out["C"] = _tensor_from_keys(content, "C", T, N, pad_multiple)
+    return out

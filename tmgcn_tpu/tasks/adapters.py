@@ -3,15 +3,18 @@
 Each model family has a different forward signature (TM-GCN takes M,
 KWGCN doesn't, EvolveGCN returns evolved weights that must be threaded
 train -> val -> test as the reference does in
-experiment_bitcoin_evolvegcn.py:132-148). Adapters close over the
-prepared window data and expose:
+experiment_bitcoin_evolvegcn.py:132-148). Adapters prepare per-window
+*data bundles* (device-resident pytrees) and expose:
 
     init(key) -> variables
-    logits(variables, window, carry) -> (logits, new_carry)
+    apply(variables, bundle, carry) -> (output, new_carry)
+    bundles[window] -> the pytree for that window
 
-so the task runners in ``tmgcn_tpu.train.loop`` are model-agnostic.
-``carry`` is () for stateless families and the tuple of evolved weight
-matrices for EvolveGCN.
+Training loops pass bundles through the jit boundary as arguments —
+never closure-capture them — so the adjacency/features stay XLA
+*parameters* instead of being baked into the executable as constants
+(closure capture makes XLA constant-fold multi-MB graphs at compile
+time).
 """
 
 from __future__ import annotations
@@ -33,88 +36,104 @@ WINDOWS = ("train", "val", "test")
 
 
 @dataclasses.dataclass
-class EdgeModelAdapter:
-    """Uniform (variables, window, carry) -> (logits, carry) interface."""
+class ModelAdapter:
+    """Uniform (variables, bundle, carry) -> (output, carry) interface."""
 
     init: Callable[[jax.Array], dict]
-    _logits: Callable[..., Any]
+    apply: Callable[[dict, dict, Any], tuple[jax.Array, Any]]
+    bundles: dict[str, dict]
     initial_carry: Callable[[dict], Any]
 
     def logits(self, variables: dict, window: str, carry: Any = ()) -> tuple[jax.Array, Any]:
-        return self._logits(variables, window, carry)
+        """Eager convenience: apply on a named window's bundle."""
+        return self.apply(variables, self.bundles[window], carry)
 
 
-def _as_edges_array(edges: np.ndarray) -> jax.Array:
-    return jnp.asarray(np.asarray(edges), dtype=jnp.int32)
+def _prepare_bundles(
+    adj: dict[str, TemporalCOO],
+    feats: dict[str, Any],
+    edges: dict[str, np.ndarray] | None,
+    M: np.ndarray | None,
+    drop_last_slice: bool,
+) -> dict[str, dict]:
+    bundles = {}
+    for w in WINDOWS:
+        A, X = adj[w], np.asarray(feats[w])
+        if drop_last_slice:
+            A = A.slice_window(0, A.n_slices - 1)
+            X = X[:-1]
+        bundle = {"adj": A, "X": jnp.asarray(X)}
+        if edges is not None:
+            bundle["edges"] = jnp.asarray(np.asarray(edges[w]), dtype=jnp.int32)
+        if M is not None:
+            Mw = np.asarray(M)
+            if drop_last_slice:
+                Mw = Mw[:-1, :-1]
+            bundle["M"] = jnp.asarray(Mw, dtype=bundle["X"].dtype)
+        # One up-front transfer; training loops reuse the device copies.
+        bundles[w] = jax.device_put(bundle)
+    return bundles
 
 
 def make_edge_adapter(
     model,
     adj: dict[str, TemporalCOO],
-    feats: dict[str, jax.Array],
+    feats: dict[str, Any],
     edges: dict[str, np.ndarray],
     M: np.ndarray | None = None,
     drop_last_slice: bool = False,
-) -> EdgeModelAdapter:
-    """Build the adapter for an edge-output model on prepared windows.
+) -> ModelAdapter:
+    """Adapter for edge-output models on prepared windows.
 
     Args:
-        model: a TMGCN/TMGCN2/KWGCN/EvolveGCN instance.
+        model: a TMGCN/TMGCN2/KWGCN/EvolveGCN/WDGCN instance.
         adj: per-window adjacency (Ct for TM-GCN, C for baselines).
         feats: per-window (T, N, F) features.
         edges: per-window (3, E) model-input edges.
         M: mixing matrix (TM-GCN families only).
-        drop_last_slice: link-prediction convention — model consumes
+        drop_last_slice: link-prediction convention — the model consumes
             slices [0, T-1) and M[:-1, :-1].
     """
-    prepared_adj = {}
-    prepared_X = {}
-    prepared_edges = {w: jax.device_put(_as_edges_array(edges[w])) for w in WINDOWS}
-    for w in WINDOWS:
-        A, X = adj[w], feats[w]
-        if drop_last_slice:
-            A = A.slice_window(0, A.n_slices - 1)
-            X = np.asarray(X)[:-1]
-        # One up-front transfer per window; everything downstream is jitted.
-        prepared_adj[w] = jax.device_put(A)
-        prepared_X[w] = jax.device_put(jnp.asarray(X))
-
-    if M is not None:
-        Mj = np.asarray(M)
-        if drop_last_slice:
-            Mj = Mj[:-1, :-1]
-        Mj = jnp.asarray(Mj, dtype=prepared_X["train"].dtype)
+    bundles = _prepare_bundles(adj, feats, edges, M, drop_last_slice)
 
     if isinstance(model, (TMGCN, TMGCN2)):
+        # Cache the parameter-independent first-layer propagation, as the
+        # reference does at model init (embedding_help_functions.py:195):
+        # training epochs then run no SpMM at all for 1-layer TM-GCN.
+        for b in bundles.values():
+            b["cached"] = model.propagate(b["adj"], b["X"], b["M"])
 
-        def logits(variables, window, carry):
+        def apply(variables, bundle, carry):
             out = model.apply(
-                variables, prepared_adj[window], prepared_X[window], prepared_edges[window], Mj
+                variables,
+                bundle["adj"],
+                bundle["X"],
+                bundle["edges"],
+                bundle["M"],
+                bundle["cached"],
             )
             return out, carry
 
-        return EdgeModelAdapter(model.init, logits, lambda variables: ())
+        return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
-    if isinstance(model, KWGCN):
+    if isinstance(model, (KWGCN, WDGCN)):
+        for b in bundles.values():
+            b["cached"] = model.propagate(b["adj"], b["X"])
 
-        def logits(variables, window, carry):
+        def apply(variables, bundle, carry):
             out = model.apply(
-                variables, prepared_adj[window], prepared_X[window], prepared_edges[window]
+                variables, bundle["adj"], bundle["X"], bundle["edges"], bundle["cached"]
             )
             return out, carry
 
-        return EdgeModelAdapter(model.init, logits, lambda variables: ())
+        return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
     if isinstance(model, EvolveGCN):
 
-        def logits(variables, window, carry):
-            inits = carry if carry else (None, None)[: max(1, model.n_layers)]
+        def apply(variables, bundle, carry):
+            inits = carry if carry else ()
             out, finals = model.apply(
-                variables,
-                prepared_adj[window],
-                prepared_X[window],
-                prepared_edges[window],
-                *inits,
+                variables, bundle["adj"], bundle["X"], bundle["edges"], *inits
             )
             return out, finals
 
@@ -124,17 +143,7 @@ def make_edge_adapter(
                 return (b["W_init1"], b["W_init2"])
             return (b["W_init1"],)
 
-        return EdgeModelAdapter(model.init, logits, initial_carry)
-
-    if isinstance(model, WDGCN):
-
-        def logits(variables, window, carry):
-            out = model.apply(
-                variables, prepared_adj[window], prepared_X[window], prepared_edges[window]
-            )
-            return out, carry
-
-        return EdgeModelAdapter(model.init, logits, lambda variables: ())
+        return ModelAdapter(model.init, apply, bundles, initial_carry)
 
     raise TypeError(f"unsupported edge model: {type(model).__name__}")
 
@@ -142,37 +151,37 @@ def make_edge_adapter(
 def make_regression_adapter(
     model,
     adj: dict[str, TemporalCOO],
-    feats: dict[str, jax.Array],
+    feats: dict[str, Any],
     M: np.ndarray | None = None,
-) -> EdgeModelAdapter:
+) -> ModelAdapter:
     """Adapter for (T, N) regression models (SEIR task)."""
-    prepared_X = {w: jax.device_put(jnp.asarray(feats[w])) for w in WINDOWS}
-    adj = {w: jax.device_put(adj[w]) for w in WINDOWS}
-    if M is not None:
-        Mj = jnp.asarray(np.asarray(M), dtype=prepared_X["train"].dtype)
+    needs_m = isinstance(model, TMGCNReg)
+    bundles = _prepare_bundles(adj, feats, None, M if needs_m else None, False)
 
     if isinstance(model, TMGCNReg):
+        for b in bundles.values():
+            b["cached"] = model.propagate(b["adj"], b["X"], b["M"])
 
-        def logits(variables, window, carry):
-            return model.apply(variables, adj[window], prepared_X[window], Mj), carry
+        def apply(variables, bundle, carry):
+            return (
+                model.apply(
+                    variables, bundle["adj"], bundle["X"], bundle["M"], bundle["cached"]
+                ),
+                carry,
+            )
 
-        return EdgeModelAdapter(model.init, logits, lambda variables: ())
+    elif isinstance(model, EvolveGCNReg):
 
-    if isinstance(model, EvolveGCNReg):
-
-        def logits(variables, window, carry):
+        def apply(variables, bundle, carry):
             W0 = carry[0] if carry else None
-            # Regression forward matches the reference: evolved weights are
-            # threaded implicitly from buffers; explicit carry supported.
-            return model.apply(variables, adj[window], prepared_X[window], W0), carry
+            return model.apply(variables, bundle["adj"], bundle["X"], W0), carry
 
-        return EdgeModelAdapter(model.init, logits, lambda variables: ())
+    elif isinstance(model, WDGCNReg):
 
-    if isinstance(model, WDGCNReg):
+        def apply(variables, bundle, carry):
+            return model.apply(variables, bundle["adj"], bundle["X"]), carry
 
-        def logits(variables, window, carry):
-            return model.apply(variables, adj[window], prepared_X[window]), carry
+    else:
+        raise TypeError(f"unsupported regression model: {type(model).__name__}")
 
-        return EdgeModelAdapter(model.init, logits, lambda variables: ())
-
-    raise TypeError(f"unsupported regression model: {type(model).__name__}")
+    return ModelAdapter(model.init, apply, bundles, lambda variables: ())

@@ -9,10 +9,13 @@ epochs, and per-epoch metric rows in the reference's exact array layouts
 (epochs x 12 for F1 mode, epochs x 9 for MAP-MRR mode) so result pickles
 are directly comparable.
 
-The training step is one jitted function (forward + backward + update
-fused by XLA); evaluation forwards are jitted per window and the metric
-arithmetic runs host-side in float64 with numerics identical to the
-reference (see tmgcn_tpu.tasks.metrics).
+TPU-first structure: epochs between evaluations run as ONE device call —
+a ``lax.scan`` over SGD steps inside jit — rather than one dispatch per
+epoch (host<->device latency would otherwise dominate: a full-batch
+epoch of these models is sub-millisecond on-chip). Per-epoch scalars
+(loss, confusion counts) come back as stacked arrays from the scan.
+Evaluation epochs run as a single step so the fresh training logits are
+available, mirroring the reference's cadence exactly.
 """
 
 from __future__ import annotations
@@ -26,7 +29,7 @@ import numpy as np
 import optax
 
 from tmgcn_tpu.tasks import metrics as M
-from tmgcn_tpu.tasks.adapters import EdgeModelAdapter
+from tmgcn_tpu.tasks.adapters import ModelAdapter
 from tmgcn_tpu.tasks.windows import EdgeSplit, LinkPredSplit
 from tmgcn_tpu.train.losses import summed_per_slice_mse, weighted_cross_entropy
 
@@ -44,12 +47,63 @@ def _optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
     return optax.sgd(cfg.lr, momentum=cfg.momentum)
 
 
-def _f1_from_guess(guess: np.ndarray, target: np.ndarray) -> tuple[float, float, float]:
-    return M.precision_recall_f1(guess, target)
+def _f1(tp: float, fp: float, fn: float) -> tuple[float, float, float]:
+    with np.errstate(invalid="ignore", divide="ignore"):
+        p = float(np.float64(tp) / (tp + fp))
+        r = float(np.float64(tp) / (tp + fn))
+        f1 = float(2 * np.float64(p) * r / (p + r))
+    return p, r, f1
+
+
+def _confusion(out: jax.Array, tgt: jax.Array) -> tuple[jax.Array, jax.Array, jax.Array]:
+    guess = jnp.argmax(out, axis=1)
+    tp = jnp.sum((guess == 0) & (tgt == 0))
+    fp = jnp.sum((guess == 0) & (tgt != 0))
+    fn = jnp.sum((guess != 0) & (tgt == 0))
+    return tp, fp, fn
+
+
+def _make_steps(adapter: ModelAdapter, buffers: dict, opt, cw, with_confusion: bool):
+    """Build (single_step, chunk_step) jitted training functions."""
+
+    def sgd_step(params, opt_state, bundle, tgt):
+        def loss_fn(p):
+            out, carry = adapter.apply({"params": p, "buffers": buffers}, bundle, ())
+            return weighted_cross_entropy(out, tgt, cw), (out, carry)
+
+        (loss, (out, carry)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, out, carry
+
+    @jax.jit
+    def single_step(params, opt_state, bundle, tgt):
+        params, opt_state, loss, out, carry = sgd_step(params, opt_state, bundle, tgt)
+        aux = _confusion(out, tgt) if with_confusion else ()
+        return params, opt_state, loss, out, carry, aux
+
+    @partial(jax.jit, static_argnames="n_steps")
+    def chunk_step(params, opt_state, bundle, tgt, n_steps):
+        def body(carry, _):
+            params, opt_state = carry
+            params, opt_state, loss, out, _ = sgd_step(params, opt_state, bundle, tgt)
+            aux = _confusion(out, tgt) if with_confusion else ()
+            return (params, opt_state), (loss, aux)
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        return params, opt_state, losses, auxs
+
+    @jax.jit
+    def eval_forward(params, bundle, carry):
+        return adapter.apply({"params": params, "buffers": buffers}, bundle, carry)
+
+    return single_step, chunk_step, eval_forward
 
 
 def run_edge_classification(
-    adapter: EdgeModelAdapter,
+    adapter: ModelAdapter,
     splits: dict[str, EdgeSplit],
     class_weights: np.ndarray,
     cfg: TrainConfig,
@@ -61,66 +115,60 @@ def run_edge_classification(
         variables = adapter.init(key if key is not None else jax.random.PRNGKey(0))
     params, buffers = variables["params"], variables["buffers"]
     cw = jnp.asarray(class_weights, dtype=jnp.result_type(float))
-    targets = {w: jnp.asarray(s.target) for w, s in splits.items()}
+    tgt_train = jnp.asarray(splits["train"].target)
 
     opt = _optimizer(cfg)
     opt_state = opt.init(params)
-
-    @jax.jit
-    def train_step(params, opt_state):
-        def loss_fn(p):
-            out, carry = adapter.logits({"params": p, "buffers": buffers}, "train", ())
-            return weighted_cross_entropy(out, targets["train"], cw), (out, carry)
-
-        (loss, (out, carry)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        # In-graph confusion counts: the host fetches 3 scalars per epoch
-        # instead of the full (E, C) logits.
-        guess = jnp.argmax(out, axis=1)
-        tgt = targets["train"]
-        tp = jnp.sum((guess == 0) & (tgt == 0))
-        fp = jnp.sum((guess == 0) & (tgt != 0))
-        fn = jnp.sum((guess != 0) & (tgt == 0))
-        return optax.apply_updates(params, updates), opt_state, loss, (tp, fp, fn), carry
-
-    @partial(jax.jit, static_argnames="window")
-    def eval_forward(params, window, carry):
-        return adapter.logits({"params": params, "buffers": buffers}, window, carry)
+    single_step, chunk_step, eval_forward = _make_steps(
+        adapter, buffers, opt, cw, with_confusion=True
+    )
 
     results = np.zeros((cfg.n_epochs, 12))
     val_stats = (0.0,) * 4
     test_stats = (0.0,) * 4
-    for ep in range(cfg.n_epochs):
-        params, opt_state, loss, (tp, fp, fn), carry = train_step(params, opt_state)
-        tp, fp, fn = float(tp), float(fp), float(fn)
-        with np.errstate(invalid="ignore", divide="ignore"):
-            p_tr = float(np.float64(tp) / (tp + fp))
-            r_tr = float(np.float64(tp) / (tp + fn))
-            f1_tr = 2 * p_tr * r_tr / (p_tr + r_tr) if (p_tr + r_tr) > 0 else float("nan")
-
-        if ep % cfg.eval_every == 0:
-            stats = {}
-            for wname in ("val", "test"):
-                out, carry = eval_forward(params, wname, carry)
-                s = splits[wname]
-                out_np = np.asarray(out)[s.eval_mask]
-                tgt_np = s.target[s.eval_mask]
-                p, r, f1 = _f1_from_guess(np.argmax(out_np, axis=1), tgt_np)
-                l = M.weighted_ce_loss_np(out_np, tgt_np, np.asarray(class_weights))
-                stats[wname] = (p, r, f1, l)
-            val_stats, test_stats = stats["val"], stats["test"]
-            if cfg.verbose:
-                print(
-                    f"ep {ep}: train f1 {f1_tr:.4f} loss {float(loss):.4f} | "
-                    f"val f1 {val_stats[2]:.4f} | test f1 {test_stats[2]:.4f}"
-                )
+    ep = 0
+    while ep < cfg.n_epochs:
+        # Evaluation epoch: one step, then score val/test.
+        params, opt_state, loss, _, carry, (tp, fp, fn) = single_step(
+            params, opt_state, adapter.bundles["train"], tgt_train
+        )
+        p_tr, r_tr, f1_tr = _f1(float(tp), float(fp), float(fn))
+        stats = {}
+        for wname in ("val", "test"):
+            out, carry = eval_forward(params, adapter.bundles[wname], carry)
+            s = splits[wname]
+            out_np = np.asarray(out)[s.eval_mask]
+            tgt_np = s.target[s.eval_mask]
+            p, r, f1 = M.precision_recall_f1(np.argmax(out_np, axis=1), tgt_np)
+            l = M.weighted_ce_loss_np(out_np, tgt_np, np.asarray(class_weights))
+            stats[wname] = (p, r, f1, l)
+        val_stats, test_stats = stats["val"], stats["test"]
         results[ep] = [p_tr, r_tr, f1_tr, float(loss), *val_stats, *test_stats]
+        if cfg.verbose:
+            print(
+                f"ep {ep}: train f1 {f1_tr:.4f} loss {float(loss):.4f} | "
+                f"val f1 {val_stats[2]:.4f} | test f1 {test_stats[2]:.4f}"
+            )
+        ep += 1
+
+        # Non-evaluation epochs: one fused device call.
+        k = min(cfg.eval_every - 1, cfg.n_epochs - ep)
+        if k > 0:
+            params, opt_state, losses, (tps, fps, fns) = chunk_step(
+                params, opt_state, adapter.bundles["train"], tgt_train, k
+            )
+            losses = np.asarray(losses)
+            tps, fps, fns = np.asarray(tps), np.asarray(fps), np.asarray(fns)
+            for i in range(k):
+                p_tr, r_tr, f1_tr = _f1(float(tps[i]), float(fps[i]), float(fns[i]))
+                results[ep + i] = [p_tr, r_tr, f1_tr, losses[i], *val_stats, *test_stats]
+            ep += k
 
     return results, {"params": params, "buffers": buffers}
 
 
 def run_link_prediction(
-    adapter: EdgeModelAdapter,
+    adapter: ModelAdapter,
     splits: dict[str, LinkPredSplit],
     class_weights: np.ndarray,
     cfg: TrainConfig,
@@ -137,7 +185,6 @@ def run_link_prediction(
     params, buffers = variables["params"], variables["buffers"]
     cw = jnp.asarray(class_weights, dtype=jnp.result_type(float))
 
-    # Model-input targets: labels of edges with slice > 0 (shifted inputs).
     def model_target(s: LinkPredSplit) -> np.ndarray:
         return s.target[s.edges[0] != 0]
 
@@ -145,58 +192,65 @@ def run_link_prediction(
 
     opt = _optimizer(cfg)
     opt_state = opt.init(params)
-
-    @jax.jit
-    def train_step(params, opt_state):
-        def loss_fn(p):
-            out, carry = adapter.logits({"params": p, "buffers": buffers}, "train", ())
-            return weighted_cross_entropy(out, tgt_train, cw), (out, carry)
-
-        (loss, (out, carry)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss, out, carry
-
-    @partial(jax.jit, static_argnames="window")
-    def eval_forward(params, window, carry):
-        return adapter.logits({"params": params, "buffers": buffers}, window, carry)
+    single_step, chunk_step, eval_forward = _make_steps(
+        adapter, buffers, opt, cw, with_confusion=False
+    )
 
     results = np.zeros((cfg.n_epochs, 9))
-    map_tr = mrr_tr = 0.0
     val_stats = (0.0, 0.0, 0.0)
     test_stats = (0.0, 0.0, 0.0)
-    for ep in range(cfg.n_epochs):
-        params, opt_state, loss, out_train, carry = train_step(params, opt_state)
-
-        if ep % cfg.eval_every == 0:
-            s = splits["train"]
-            keep = s.edges[0] != 0
-            map_tr, mrr_tr = M.map_mrr(
-                np.asarray(out_train), s.target[keep], s.edges[:, keep]
-            )
-            stats = {}
-            for wname in ("val", "test"):
-                out, carry = eval_forward(params, wname, carry)
-                s = splits[wname]
-                K = s.n_eval_tail if s.n_eval_tail is not None else len(s.target)
+    ep = 0
+    while ep < cfg.n_epochs:
+        params, opt_state, loss, out_train, carry, _ = single_step(
+            params, opt_state, adapter.bundles["train"], tgt_train
+        )
+        s = splits["train"]
+        keep = s.edges[0] != 0
+        map_tr, mrr_tr = M.map_mrr(np.asarray(out_train), s.target[keep], s.edges[:, keep])
+        stats = {}
+        for wname in ("val", "test"):
+            out, carry = eval_forward(params, adapter.bundles[wname], carry)
+            s = splits[wname]
+            if s.n_eval_tail is not None:
+                # Same-block windows: score only the new tail slices.
+                K = s.n_eval_tail
                 out_np = np.asarray(out)[-K:]
                 tgt_np = s.target[-K:]
-                mp, mr = M.map_mrr(out_np, tgt_np, s.edges[:, -K:])
-                l = M.weighted_ce_loss_np(out_np, tgt_np, np.asarray(class_weights))
-                stats[wname] = (mp, mr, l)
-            val_stats, test_stats = stats["val"], stats["test"]
-            if cfg.verbose:
-                print(
-                    f"ep {ep}: train MAP/MRR {map_tr:.4f}/{mrr_tr:.4f} "
-                    f"loss {float(loss):.4f} | val MAP {val_stats[0]:.4f} | "
-                    f"test MAP {test_stats[0]:.4f}"
-                )
+                metric_edges = s.edges[:, -K:]
+            else:
+                # Disjoint windows: score every model edge.
+                keep = s.edges[0] != 0
+                out_np = np.asarray(out)
+                tgt_np = s.target[keep]
+                metric_edges = s.edges[:, keep]
+            mp, mr = M.map_mrr(out_np, tgt_np, metric_edges)
+            l = M.weighted_ce_loss_np(out_np, tgt_np, np.asarray(class_weights))
+            stats[wname] = (mp, mr, l)
+        val_stats, test_stats = stats["val"], stats["test"]
         results[ep] = [map_tr, mrr_tr, float(loss), *val_stats, *test_stats]
+        if cfg.verbose:
+            print(
+                f"ep {ep}: train MAP/MRR {map_tr:.4f}/{mrr_tr:.4f} "
+                f"loss {float(loss):.4f} | val MAP {val_stats[0]:.4f} | "
+                f"test MAP {test_stats[0]:.4f}"
+            )
+        ep += 1
+
+        k = min(cfg.eval_every - 1, cfg.n_epochs - ep)
+        if k > 0:
+            params, opt_state, losses, _ = chunk_step(
+                params, opt_state, adapter.bundles["train"], tgt_train, k
+            )
+            losses = np.asarray(losses)
+            for i in range(k):
+                results[ep + i] = [map_tr, mrr_tr, losses[i], *val_stats, *test_stats]
+            ep += k
 
     return results, {"params": params, "buffers": buffers}
 
 
 def run_regression(
-    adapter: EdgeModelAdapter,
+    adapter: ModelAdapter,
     targets: dict[str, np.ndarray],
     cfg: TrainConfig,
     key: jax.Array | None = None,
@@ -210,36 +264,50 @@ def run_regression(
     if variables is None:
         variables = adapter.init(key if key is not None else jax.random.PRNGKey(0))
     params, buffers = variables["params"], variables["buffers"]
-    y = {w: jnp.asarray(t) for w, t in targets.items()}
+    y_train = jnp.asarray(targets["train"])
 
     opt = _optimizer(cfg)
     opt_state = opt.init(params)
 
-    @jax.jit
-    def train_step(params, opt_state):
-        def loss_fn(p):
-            out, _ = adapter.logits({"params": p, "buffers": buffers}, "train", ())
-            return summed_per_slice_mse(out, y["train"])
+    @partial(jax.jit, static_argnames="n_steps")
+    def chunk_step(params, opt_state, bundle, yt, n_steps):
+        def body(carry, _):
+            params, opt_state = carry
 
-        loss, grads = jax.value_and_grad(loss_fn)(params)
-        updates, opt_state = opt.update(grads, opt_state)
-        return optax.apply_updates(params, updates), opt_state, loss
+            def loss_fn(p):
+                out, _ = adapter.apply({"params": p, "buffers": buffers}, bundle, ())
+                return summed_per_slice_mse(out, yt)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        return params, opt_state, losses
+
+    @jax.jit
+    def eval_forward(params, bundle):
+        out, _ = adapter.apply({"params": params, "buffers": buffers}, bundle, ())
+        return out
 
     losses = np.zeros(cfg.n_epochs)
-    for ep in range(cfg.n_epochs):
-        params, opt_state, loss = train_step(params, opt_state)
-        losses[ep] = float(loss)
-        if cfg.verbose and ep % 10 == 0:
-            print(f"ep {ep}: train mse {losses[ep]:.5f}")
-
-    @partial(jax.jit, static_argnames="window")
-    def eval_forward(params, window):
-        out, _ = adapter.logits({"params": params, "buffers": buffers}, window, ())
-        return out
+    chunk = max(1, cfg.eval_every)
+    ep = 0
+    while ep < cfg.n_epochs:
+        k = min(chunk, cfg.n_epochs - ep)
+        params, opt_state, ls = chunk_step(
+            params, opt_state, adapter.bundles["train"], y_train, k
+        )
+        losses[ep : ep + k] = np.asarray(ls)
+        if cfg.verbose:
+            print(f"ep {ep + k - 1}: train mse {losses[ep + k - 1]:.5f}")
+        ep += k
 
     result = {"train_loss": losses}
     for wname in ("val", "test"):
-        out = np.asarray(eval_forward(params, wname))
+        out = np.asarray(eval_forward(params, adapter.bundles[wname]))
         l1, ratio = M.l1_and_ratio(out, targets[wname])
         result[f"{wname}_l1"] = l1
         result[f"{wname}_l1_ratio"] = ratio
