@@ -73,6 +73,14 @@ class EvolveGCN:
     in_feat: int
     hidden_feat: tuple[int, ...]
     dtype: jnp.dtype = jnp.float32
+    # Stored embeddings dtype: the reference keeps GRU/GCONV math in
+    # float64 but writes per-slice outputs into a float32 buffer
+    # (evolvegcn_functions.py:66,164); None means same as dtype.
+    embed_dtype: jnp.dtype | None = None
+
+    @property
+    def store_dtype(self):
+        return self.embed_dtype if self.embed_dtype is not None else self.dtype
 
     @property
     def n_layers(self) -> int:
@@ -116,7 +124,7 @@ class EvolveGCN:
                 rows, cols, vals, x = xs
                 W = _evolve_step(p["cell1"], W, x)
                 h = jnp.matmul(spmm_slice(rows, cols, vals, x, n), W)
-                return W, h
+                return W, h.astype(self.store_dtype)
 
             W_fin, Y = jax.lax.scan(step, W0, (A.rows, A.cols, A.vals, X))
             return Y, (W_fin,)
@@ -130,7 +138,7 @@ class EvolveGCN:
             h = jax.nn.relu(jnp.matmul(spmm_slice(rows, cols, vals, x, n), W))
             W2 = _evolve_step(p["cell2"], W2, h)
             h = jnp.matmul(spmm_slice(rows, cols, vals, h, n), W2)
-            return (W, W2), h
+            return (W, W2), h.astype(self.store_dtype)
 
         (W_fin, W2_fin), Y = jax.lax.scan(step2, (W0, W20), (A.rows, A.cols, A.vals, X))
         return Y, (W_fin, W2_fin)
@@ -157,6 +165,11 @@ class EvolveGCNReg:
     in_feat: int
     hidden_feat: tuple[int, int]
     dtype: jnp.dtype = jnp.float32
+    embed_dtype: jnp.dtype | None = None
+
+    @property
+    def store_dtype(self):
+        return self.embed_dtype if self.embed_dtype is not None else self.dtype
 
     def init(self, key: jax.Array) -> dict:
         f0, (f1, _) = self.in_feat, self.hidden_feat
@@ -190,7 +203,7 @@ class EvolveGCNReg:
             rows, cols, vals, x = xs
             W = _evolve_step(p["cell1"], W, x)
             h = jnp.matmul(spmm_slice(rows, cols, vals, x, n), W)
-            return W, h
+            return W, h.astype(self.store_dtype)
 
         _, Y = jax.lax.scan(step, W0, (A.rows, A.cols, A.vals, X))
         out = jnp.matmul(Y, p["lin_w"].astype(Y.dtype)) + p["lin_b"].astype(Y.dtype)

@@ -72,11 +72,15 @@ class KWGCN:
         p = variables["params"]
         if AX is None:
             AX = self.propagate(C, X)
+        # Reference stores propagations in float32 buffers (t.zeros,
+        # embedding_help_functions.py:470); cast reproduces the truncation.
+        AX = AX.astype(self.dtype)
         if self.n_layers == 2:
             Y = nonlinearity(self.nonlin2)(jnp.matmul(AX, p["W1"].astype(AX.dtype)))
             if self.interlayer_dtype is not None:
                 Y = Y.astype(self.interlayer_dtype)
-            Z = jnp.matmul(spmm(C, Y, impl=self.spmm_impl), p["W2"].astype(Y.dtype))
+            AY = spmm(C, Y, impl=self.spmm_impl).astype(self.dtype)
+            Z = jnp.matmul(AY, p["W2"].astype(AY.dtype))
         else:
             Z = jnp.matmul(AX, p["W1"].astype(AX.dtype))
         return Z

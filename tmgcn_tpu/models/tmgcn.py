@@ -80,6 +80,11 @@ class TMGCN:
         """(T, N, F1) node embeddings (the pre-readout tensor Y)."""
         if AtXt is None:
             AtXt = self.propagate(Ct, X, M)
+        # The reference stores the cached propagation in a float32 buffer
+        # regardless of input precision (t.zeros default dtype,
+        # embedding_help_functions.py:205); casting to the model dtype
+        # reproduces that truncation point exactly.
+        AtXt = AtXt.astype(self.dtype)
         Y = jnp.matmul(AtXt, variables["params"]["W"].astype(AtXt.dtype))
         if self.use_Minv:
             Y = m_transform_inverse(M, Y)
@@ -159,6 +164,7 @@ class TMGCN2:
 
         if AtXt is None:
             AtXt = self.propagate(Ct, X, M)
+        AtXt = AtXt.astype(self.dtype)  # reference f32 buffer truncation
         Y = jnp.matmul(AtXt, p["W1"].astype(AtXt.dtype))
         if self.use_Minv:
             Y = m_transform_inverse(M, Y)
@@ -166,16 +172,24 @@ class TMGCN2:
         if self.interlayer_dtype is not None:
             Y = Y.astype(self.interlayer_dtype)
 
-        W2 = p["W2"].astype(Y.dtype)
+        # Second-layer propagations run at Y's precision but land in the
+        # reference's float32 buffers (compute_AX/compute_AtXt use t.zeros,
+        # embedding_help_functions.py:302,309) — hence the dtype casts.
+        W2 = p["W2"].astype(self.dtype)
         if self.use_Minv:
-            Z = jnp.matmul(spmm(Ct, m_transform(M, Y), impl=self.spmm_impl), W2)
-            Z = m_transform_inverse(M, Z)
+            AtYt = spmm(Ct, m_transform(M, Y), impl=self.spmm_impl).astype(self.dtype)
+            Z = m_transform_inverse(M, jnp.matmul(AtYt, W2))
         elif self.apply_M_twice:
-            Z = jnp.matmul(spmm(Ct, m_transform(M, Y), impl=self.spmm_impl), W2)
+            AtYt = spmm(Ct, m_transform(M, Y), impl=self.spmm_impl).astype(self.dtype)
+            Z = jnp.matmul(AtYt, W2)
             if self.apply_M_three_times:
-                Z = m_transform(M, Z)
+                # Reference upcasts to float64 for the final mixing
+                # (embedding_help_functions.py:346).
+                up = self.interlayer_dtype if self.interlayer_dtype is not None else Z.dtype
+                Z = m_transform(M.astype(up), Z.astype(up))
         else:
-            Z = jnp.matmul(spmm(Ct, Y, impl=self.spmm_impl), W2)
+            AY = spmm(Ct, Y, impl=self.spmm_impl).astype(self.dtype)
+            Z = jnp.matmul(AY, W2)
         return Z
 
     def apply(
@@ -239,6 +253,7 @@ class TMGCNReg:
         p = variables["params"]
         if AtXt is None:
             AtXt = self.propagate(Ct, X, M)
+        AtXt = AtXt.astype(self.dtype)
         Y = jnp.matmul(AtXt, p["W"].astype(AtXt.dtype))
         if self.use_Minv:
             Y = m_transform_inverse(M, Y)

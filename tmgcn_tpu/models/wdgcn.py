@@ -94,6 +94,7 @@ class WDGCN:
         p, b = variables["params"], variables["buffers"]
         if AX is None:
             AX = self.propagate(A, X)
+        AX = AX.astype(self.dtype)  # reference f32 buffer truncation
         Y = jax.nn.relu(jnp.matmul(AX, p["W"].astype(AX.dtype)))
         return lstm_scan(p["lstm"], b["h_init"], b["c_init"], Y)
 
@@ -148,6 +149,7 @@ class WDGCNReg:
         p, b = variables["params"], variables["buffers"]
         if AX is None:
             AX = spmm(A, X, impl=self.spmm_impl)
+        AX = AX.astype(self.dtype)
         Y = jax.nn.relu(jnp.matmul(AX, p["W"].astype(AX.dtype)))
         Z = lstm_scan(p["lstm"], b["h_init"], b["c_init"], Y)
         out = jnp.matmul(Z, p["lin_w"].astype(Z.dtype)) + p["lin_b"].astype(Z.dtype)

@@ -104,6 +104,7 @@ def map_mrr(
     """
     target = np.asarray(target)
     edges = np.asarray(edges)
+    logits = np.asarray(logits, dtype=np.float64)
     probs = softmax_pos0(logits)
     E = len(target)
     MAP = 0.0
@@ -112,7 +113,10 @@ def map_mrr(
         m = edges[0] == k
         w = float(np.sum(m)) / E
         MAP += average_precision_pos0(probs[m], target[m]) * w
-        MRR += mrr_from_edges(probs[m], target[m], edges[1:3, m]) * w
+        # The reference ranks MRR by the RAW class-0 logit, not the
+        # softmax probability (compute_MAP_MRR passes do_softmax=False,
+        # embedding_help_functions.py:725) — the rankings differ.
+        MRR += mrr_from_edges(logits[m, 0], target[m], edges[1:3, m]) * w
     return MAP, MRR
 
 
