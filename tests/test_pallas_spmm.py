@@ -1,0 +1,100 @@
+"""Pallas SpMM kernel: packing invariants + interpret-mode correctness.
+
+The kernel itself targets TPU; on the CPU test mesh it runs through the
+Pallas interpreter (same lowering semantics, no Mosaic), checking the
+packing, the windowed one-hot accumulation, and the custom VJP against
+the dense/jnp oracles.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tmgcn_tpu.core.sparse import TemporalCOO
+from tmgcn_tpu.kernels.spmm_pallas import make_operator, pack_windowed
+from tmgcn_tpu.ops.spmm import spmm
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(0)
+    T, N, F = 4, 100, 8
+    dense = (rng.random((T, N, N)) < 0.08) * rng.random((T, N, N))
+    A = TemporalCOO.from_dense(dense, dtype=jnp.float32, pad_multiple=16)
+    X = jnp.asarray(rng.standard_normal((T, N, F)), jnp.float32)
+    return A, X, dense
+
+
+class TestPacking:
+    def test_invariants(self, setup):
+        A, X, dense = setup
+        packed = pack_windowed(A, chunk=64, window=64)
+        rows = np.asarray(packed.rows)
+        wid = np.asarray(packed.window_id)
+        first = np.asarray(packed.is_first)
+        vals = np.asarray(packed.vals)
+        # Window-relative rows stay inside the window.
+        assert rows.min() >= 0 and rows.max() < 64
+        # Windows appear in nondecreasing order; each starts with is_first.
+        assert np.all(np.diff(wid) >= 0)
+        changes = np.nonzero(np.diff(wid))[0] + 1
+        assert first[0] == 1 and np.all(first[changes] == 1)
+        # Every window of the output space is covered.
+        n_windows = packed.n_rows_out // 64
+        assert set(wid.tolist()) == set(range(n_windows))
+        # Total mass preserved.
+        np.testing.assert_allclose(vals.sum(), np.asarray(A.vals).sum(), rtol=1e-6)
+
+    def test_total_entries(self, setup):
+        A, _, _ = setup
+        packed = pack_windowed(A, chunk=64, window=64)
+        n_real = int((np.asarray(packed.vals) != 0).sum())
+        assert n_real == int(np.asarray(A.nnz).sum())
+
+
+class TestKernelInterpret:
+    def test_forward(self, setup):
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True)
+        out = op(X)
+        ref = spmm(A, X)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_backward(self, setup):
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True)
+        G = jnp.asarray(np.random.default_rng(1).standard_normal(X.shape), jnp.float32)
+        dX = jax.grad(lambda x: jnp.vdot(op(x), G))(X)
+        dX_ref = jax.grad(lambda x: jnp.vdot(spmm(A, x), G))(X)
+        np.testing.assert_allclose(np.asarray(dX), np.asarray(dX_ref), atol=1e-5)
+
+    def test_under_jit_as_argument(self, setup):
+        A, X, _ = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True)
+
+        @jax.jit
+        def f(op, X):
+            return spmm(op, X).sum()
+
+        v = float(f(op, X))
+        assert np.isfinite(v)
+
+    def test_model_integration(self, setup):
+        from tmgcn_tpu.core.mmatrix import make_m_matrix
+        from tmgcn_tpu.models.tmgcn import TMGCN
+
+        A, X, _ = setup
+        T = A.n_slices
+        M = jnp.asarray(make_m_matrix(T, 3), jnp.float32)
+        edges = jnp.asarray(
+            np.stack([np.random.default_rng(2).integers(0, T, 20),
+                      np.random.default_rng(3).integers(0, 100, 20),
+                      np.random.default_rng(4).integers(0, 100, 20)]).astype(np.int32)
+        )
+        model = TMGCN(n_slices=T, in_feat=8, hidden_feat=(4, 2))
+        v = model.init(jax.random.PRNGKey(0))
+        op = make_operator(A, chunk=64, window=64, interpret=True)
+        out_op = model.apply(v, op, X, edges, M)
+        out_coo = model.apply(v, A, X, edges, M)
+        np.testing.assert_allclose(np.asarray(out_op), np.asarray(out_coo), atol=1e-4)

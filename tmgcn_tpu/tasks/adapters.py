@@ -55,6 +55,7 @@ def _prepare_bundles(
     edges: dict[str, np.ndarray] | None,
     M: np.ndarray | None,
     drop_last_slice: bool,
+    pallas_spmm: bool = False,
 ) -> dict[str, dict]:
     bundles = {}
     for w in WINDOWS:
@@ -62,6 +63,11 @@ def _prepare_bundles(
         if drop_last_slice:
             A = A.slice_window(0, A.n_slices - 1)
             X = X[:-1]
+        if pallas_spmm:
+            # Prepack the TPU kernel's scatter plan once, host-side.
+            from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+            A = make_operator(A)
         bundle = {"adj": A, "X": jnp.asarray(X)}
         if edges is not None:
             bundle["edges"] = jnp.asarray(np.asarray(edges[w]), dtype=jnp.int32)
@@ -94,7 +100,10 @@ def make_edge_adapter(
         drop_last_slice: link-prediction convention — the model consumes
             slices [0, T-1) and M[:-1, :-1].
     """
-    bundles = _prepare_bundles(adj, feats, edges, M, drop_last_slice)
+    pallas_spmm = getattr(model, "spmm_impl", "jnp") == "pallas" and isinstance(
+        model, (TMGCN, TMGCN2, KWGCN, WDGCN)
+    )
+    bundles = _prepare_bundles(adj, feats, edges, M, drop_last_slice, pallas_spmm)
 
     if isinstance(model, (TMGCN, TMGCN2)):
         # Cache the parameter-independent first-layer propagation, as the
@@ -156,7 +165,12 @@ def make_regression_adapter(
 ) -> ModelAdapter:
     """Adapter for (T, N) regression models (SEIR task)."""
     needs_m = isinstance(model, TMGCNReg)
-    bundles = _prepare_bundles(adj, feats, None, M if needs_m else None, False)
+    pallas_spmm = getattr(model, "spmm_impl", "jnp") == "pallas" and isinstance(
+        model, (TMGCNReg, WDGCNReg)
+    )
+    bundles = _prepare_bundles(
+        adj, feats, None, M if needs_m else None, False, pallas_spmm
+    )
 
     if isinstance(model, TMGCNReg):
         for b in bundles.values():
