@@ -66,17 +66,29 @@ def _cmd_run(args) -> int:
     print(f"{cfg.name}: {len(out['results'])} runs in {elapsed:.1f}s")
 
     if args.out:
+        from tmgcn_tpu.train.logging import summarize, write_metrics_jsonl
+
         out_dir = Path(args.out)
         out_dir.mkdir(parents=True, exist_ok=True)
+        summary = {"preset": cfg.name, "elapsed_s": elapsed, "runs": {}}
         for (tr, alpha), res in out["results"].items():
             tag = f"{cfg.name}_tr{tr}" + (f"_w{round((alpha or 0) * 100)}" if alpha else "")
-            with open(out_dir / f"results_{tag}.pkl", "wb") as f:
-                pickle.dump(res, f)
-        summary = {
-            "preset": cfg.name,
-            "elapsed_s": elapsed,
-            "runs": len(out["results"]),
-        }
+            if isinstance(res, np.ndarray):
+                with open(out_dir / f"results_{tag}.pkl", "wb") as f:
+                    pickle.dump(res, f)
+                write_metrics_jsonl(
+                    out_dir / f"metrics_{tag}.jsonl",
+                    res,
+                    eval_every=cfg.eval_every,
+                    run_info={"preset": cfg.name, "trial": tr, "alpha": alpha},
+                )
+                summary["runs"][tag] = summarize(res, cfg.eval_every)
+            else:  # regression: dict result
+                with open(out_dir / f"results_{tag}.pkl", "wb") as f:
+                    pickle.dump(res, f)
+                summary["runs"][tag] = {
+                    k: (float(v) if np.isscalar(v) else None) for k, v in res.items()
+                }
         (out_dir / f"summary_{cfg.name}.json").write_text(json.dumps(summary, indent=2))
         print(f"results written to {out_dir}")
     return 0

@@ -31,6 +31,8 @@ import jax.numpy as jnp
 from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+import numpy as np
+
 from tmgcn_tpu.parallel.mesh import GRAPH_AXIS, TIME_AXIS
 from tmgcn_tpu.parallel.partition import ShardedTemporalCOO
 from tmgcn_tpu.train.losses import weighted_cross_entropy
@@ -120,6 +122,128 @@ def make_sharded_train_step(mesh: Mesh, n_local_rows: int, optimizer):
         def loss_fn(p):
             logits = forward(p, A, X, M, edges)
             return weighted_cross_entropy(logits, targets, class_weights)
+
+        loss, grads = jax.value_and_grad(loss_fn)(params)
+        updates, opt_state = optimizer.update(grads, opt_state)
+        params = jax.tree.map(lambda a, b: a + b, params, updates)
+        return params, opt_state, loss
+
+    return train_step
+
+
+def partition_edges_by_time(
+    edges: np.ndarray,
+    targets: np.ndarray,
+    n_slices: int,
+    n_time: int,
+    pad_multiple: int = 128,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bucket labeled edges by time shard (host-side).
+
+    Returns (edges_sh, targets_sh, mask_sh) with shapes (n_time, 3, E),
+    (n_time, E), (n_time, E); slice ids are shard-local.
+    """
+    import numpy as _np
+
+    edges = _np.asarray(edges)
+    targets = _np.asarray(targets)
+    if n_slices % n_time:
+        raise ValueError(f"T={n_slices} not divisible by n_time={n_time}")
+    t_loc = n_slices // n_time
+    shard_of = edges[0] // t_loc
+    counts = [_np.sum(shard_of == i) for i in range(n_time)]
+    E = max(1, max(counts))
+    E = ((E + pad_multiple - 1) // pad_multiple) * pad_multiple
+    edges_sh = _np.zeros((n_time, 3, E), _np.int32)
+    targets_sh = _np.zeros((n_time, E), targets.dtype)
+    mask_sh = _np.zeros((n_time, E), bool)
+    for i in range(n_time):
+        m = shard_of == i
+        k = int(m.sum())
+        e = edges[:, m].copy()
+        e[0] -= i * t_loc
+        edges_sh[i, :, :k] = e
+        targets_sh[i, :k] = targets[m]
+        mask_sh[i, :k] = True
+    return edges_sh, targets_sh, mask_sh
+
+
+def make_sharded_train_step_halo(
+    mesh: Mesh,
+    n_local_rows: int,
+    optimizer,
+    m_blocks: np.ndarray,
+    halo: int,
+):
+    """Optimized sharded step: banded halo exchange + time-local edges.
+
+    vs the v1 step: the M-transform moves only (halo, N, F) between
+    time-neighbors (ppermute) instead of all-gathering X, and each time
+    shard scores only its own edges — the loss reduces with one psum of
+    two scalars. Embeddings are still all-gathered along ``graph`` for
+    the readout (they are F-wide and small).
+
+    Args:
+        m_blocks: (n_time, T_loc, T_loc+halo) from halo.local_banded_m.
+        halo: band - 1 of the M matrix.
+    """
+    from tmgcn_tpu.parallel.halo import banded_m_transform_local
+
+    def local_step(W, U, rows, cols, vals, X_loc, m_block, edges, targets, mask, cw):
+        rows, cols, vals = rows[:, 0], cols[:, 0], vals[:, 0]
+        m_block = m_block[0]
+        edges, targets, mask = edges[0], targets[0], mask[0]
+
+        Xt_loc = banded_m_transform_local(X_loc, m_block, halo)
+        Y_loc = jax.vmap(lambda r, c, v, x: _local_spmm(r, c, v, x, n_local_rows))(
+            rows, cols, vals, Xt_loc
+        )
+        Y_loc = jnp.matmul(Y_loc, W.astype(Y_loc.dtype))
+
+        # Readout needs all node rows of this shard's slices only.
+        Y_rows = jax.lax.all_gather(Y_loc, GRAPH_AXIS, axis=1, tiled=True)
+        T_loc, n_pad, F1 = Y_rows.shape
+        flat = Y_rows.reshape(T_loc * n_pad, F1)
+        src = flat[edges[0] * n_pad + edges[1]]
+        trg = flat[edges[0] * n_pad + edges[2]]
+        U = U.astype(flat.dtype)
+        logits = src @ U[:F1] + trg @ U[F1:]
+
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
+        w = cw.astype(logits.dtype)[targets] * mask.astype(logits.dtype)
+        num = jax.lax.psum(jnp.sum(w * nll), TIME_AXIS)
+        den = jax.lax.psum(jnp.sum(w), TIME_AXIS)
+        return num / den
+
+    spec_A = P(TIME_AXIS, GRAPH_AXIS, None)
+    loss_fn_sharded = shard_map(
+        local_step,
+        mesh=mesh,
+        in_specs=(
+            P(),  # W
+            P(),  # U
+            spec_A,  # rows
+            spec_A,  # cols
+            spec_A,  # vals
+            P(TIME_AXIS, None, None),  # X
+            P(TIME_AXIS, None, None),  # m_blocks
+            P(TIME_AXIS, None, None),  # edges
+            P(TIME_AXIS, None),  # targets
+            P(TIME_AXIS, None),  # mask
+            P(),  # class weights
+        ),
+        out_specs=P(),
+        check_vma=False,
+    )
+
+    @partial(jax.jit, donate_argnums=(0, 1))
+    def train_step(params, opt_state, A, X, edges_sh, targets_sh, mask_sh, cw):
+        def loss_fn(p):
+            return loss_fn_sharded(
+                p["W"], p["U"], A.rows, A.cols, A.vals, X,
+                jnp.asarray(m_blocks, X.dtype), edges_sh, targets_sh, mask_sh, cw,
+            )
 
         loss, grads = jax.value_and_grad(loss_fn)(params)
         updates, opt_state = optimizer.update(grads, opt_state)

@@ -109,6 +109,7 @@ def run_edge_classification(
     cfg: TrainConfig,
     key: jax.Array | None = None,
     variables: dict | None = None,
+    checkpointer=None,
 ) -> tuple[np.ndarray, dict]:
     """Train an edge classifier; returns ((epochs, 12) metrics, variables)."""
     if variables is None:
@@ -149,6 +150,8 @@ def run_edge_classification(
                 f"ep {ep}: train f1 {f1_tr:.4f} loss {float(loss):.4f} | "
                 f"val f1 {val_stats[2]:.4f} | test f1 {test_stats[2]:.4f}"
             )
+        if checkpointer is not None:
+            checkpointer.save(ep, params, opt_state, results)
         ep += 1
 
         # Non-evaluation epochs: one fused device call.
@@ -174,6 +177,7 @@ def run_link_prediction(
     cfg: TrainConfig,
     key: jax.Array | None = None,
     variables: dict | None = None,
+    checkpointer=None,
 ) -> tuple[np.ndarray, dict]:
     """Train a link predictor; returns ((epochs, 9) metrics, variables).
 
@@ -234,6 +238,8 @@ def run_link_prediction(
                 f"loss {float(loss):.4f} | val MAP {val_stats[0]:.4f} | "
                 f"test MAP {test_stats[0]:.4f}"
             )
+        if checkpointer is not None:
+            checkpointer.save(ep, params, opt_state, results)
         ep += 1
 
         k = min(cfg.eval_every - 1, cfg.n_epochs - ep)
