@@ -44,6 +44,10 @@ def save_artifact(path: str | Path, data: PreprocessedData) -> None:
         out[f"{key}_subs"] = subs
         out[f"{key}_vals"] = vals.reshape(-1, 1)
     out["M"] = np.asarray(data.M)
+    # Aliases some reference drivers read instead of A_labels_*
+    # (experiment_chess_our.py:38-45 loads tensor_idx/tensor_labels).
+    out["tensor_idx"] = out["A_labels_subs"].astype(np.int64)
+    out["tensor_labels"] = out["A_labels_vals"]
     sio.savemat(str(path), out)
 
 
