@@ -104,6 +104,26 @@ def pack_windowed(
     g_cols = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
     g_vals = np.concatenate(parts_v) if parts_v else np.zeros(0, vals_np.dtype)
 
+    try:
+        from tmgcn_tpu import native
+
+        if native.available():
+            r, c, v, wid, first = native.pack_chunks(
+                g_rows, g_cols, g_vals.astype(np.float64), window, chunk, n_windows
+            )
+            return PackedSpmm(
+                rows=jnp.asarray(r),
+                cols=jnp.asarray(c),
+                vals=jnp.asarray(v.astype(vals_np.dtype)),
+                window_id=jnp.asarray(wid),
+                is_first=jnp.asarray(first),
+                n_rows_out=int(n_rows_out),
+                chunk=chunk,
+                window=window,
+            )
+    except Exception:
+        pass  # fall through to the Python packer
+
     wid_of_entry = g_rows // window
     # Chunk boundaries: entry count or window change.
     chunks_rows, chunks_cols, chunks_vals, chunk_wid = [], [], [], []

@@ -120,14 +120,26 @@ def load_raw(
 ) -> RawEdges:
     """Parse a dataset's raw file into binned edges."""
     path = Path(data_dir) / spec.filename
-    data = np.loadtxt(
-        path,
-        delimiter=spec.delimiter,
-        skiprows=spec.skiprows,
-        comments=spec.comments,
-        ndmin=2,
-    )
-    s, d, w, t = (data[:, c] for c in spec.columns)
+    data = None
+    try:
+        from tmgcn_tpu import native
+
+        if native.available():
+            data = native.parse_edges(
+                path, list(spec.columns), spec.delimiter, spec.skiprows, spec.comments
+            )
+            s, d, w, t = (data[:, i] for i in range(4))
+    except Exception:
+        data = None
+    if data is None:
+        data = np.loadtxt(
+            path,
+            delimiter=spec.delimiter,
+            skiprows=spec.skiprows,
+            comments=spec.comments,
+            ndmin=2,
+        )
+        s, d, w, t = (data[:, c] for c in spec.columns)
     one_based = s.min() >= 1 and d.min() >= 1
     return bin_edges(
         s, d, w, t, spec.preprocess.time_delta, n_slices_cap, one_based_nodes=one_based

@@ -43,6 +43,12 @@ def augment_edges(
     """
     edges = np.asarray(edges)
     rng = np.random.default_rng(seed)
+    try:
+        from tmgcn_tpu import native
+
+        use_native = native.available()
+    except Exception:
+        use_native = False
     new_edges = []
     for j in range(int(edges[0].max()) + 1):
         beta = beta1 if j < cutoff else beta2
@@ -51,9 +57,17 @@ def augment_edges(
         to_add = beta * n_real
         if to_add == 0:
             continue
-        real_keys = set(
-            (edges[1, slice_mask].astype(np.int64) * n_nodes + edges[2, slice_mask]).tolist()
-        )
+        key_arr = edges[1, slice_mask].astype(np.int64) * n_nodes + edges[2, slice_mask]
+        if use_native:
+            # C++ hash-set rejection sampler (deterministic per seed/slice).
+            src, trg = native.sample_negatives(
+                key_arr, n_nodes, to_add, seed * 0x9e3779b9 + j
+            )
+            new_edges.append(
+                np.stack([np.full(to_add, j, dtype=edges.dtype), src, trg])
+            )
+            continue
+        real_keys = set(key_arr.tolist())
         added = 0
         while added < to_add:
             batch = max(64, int((to_add - added) * 1.2))
