@@ -22,7 +22,7 @@ import time
 
 import numpy as np
 
-N_TIMED = 100
+N_TIMED = 400
 N_WARMUP = 3
 N_TORCH = 10
 

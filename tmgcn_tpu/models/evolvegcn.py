@@ -159,7 +159,15 @@ class EvolveGCN:
 
 @dataclasses.dataclass(frozen=True)
 class EvolveGCNReg:
-    """1-layer EvolveGCN-H with per-node linear regression head -> (T, N)."""
+    """1-layer EvolveGCN-H with per-node linear regression head -> (T, N).
+
+    Divergence (deliberate fix): the reference's SEIR driver passes
+    val/test data to a forward that ignores it without an explicit
+    W_init (evolvegcn_functions.py:341-347 falls back to the cached
+    training tensors), so its reported val/test numbers re-score the
+    training window. This implementation always evaluates the data it
+    is given.
+    """
 
     n_slices: int
     in_feat: int

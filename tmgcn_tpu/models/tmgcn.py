@@ -210,7 +210,14 @@ class TMGCN2:
 
 @dataclasses.dataclass(frozen=True)
 class TMGCNReg:
-    """1-layer TM-GCN with a per-node linear regression head -> (T, N)."""
+    """1-layer TM-GCN with a per-node linear regression head -> (T, N).
+
+    Divergence (deliberate fix): the reference's regression forward
+    always uses the cached training propagation
+    (embedding_help_functions.py:410-412), so its SEIR val/test numbers
+    re-score the training window. This implementation evaluates the
+    data given.
+    """
 
     n_slices: int
     in_feat: int

@@ -112,7 +112,13 @@ class WDGCN:
 
 @dataclasses.dataclass(frozen=True)
 class WDGCNReg:
-    """WD-GCN with per-node linear regression head -> (T, N)."""
+    """WD-GCN with per-node linear regression head -> (T, N).
+
+    Divergence (deliberate fix): the reference's regression forward
+    ignores its (A, X) arguments unless edges are also passed
+    (wd_gcn_functions.py:138-142), so its SEIR val/test numbers re-score
+    the training window. This implementation evaluates the data given.
+    """
 
     n_slices: int
     in_feat: int
