@@ -61,6 +61,7 @@ def _cmd_run(args) -> int:
         n_epochs=args.epochs,
         alpha_vec=alphas,
         verbose=not args.quiet,
+        checkpoint_dir=args.checkpoint_dir,
     )
     elapsed = time.time() - t0
     print(f"{cfg.name}: {len(out['results'])} runs in {elapsed:.1f}s")
@@ -112,6 +113,7 @@ def main(argv=None) -> int:
     rp.add_argument("--epochs", type=int)
     rp.add_argument("--alphas", type=float, nargs="*")
     rp.add_argument("--out")
+    rp.add_argument("--checkpoint-dir")
     rp.add_argument("--quiet", action="store_true")
 
     args = ap.parse_args(argv)

@@ -298,6 +298,7 @@ def run_experiment(
     n_epochs: int | None = None,
     alpha_vec: tuple[float, ...] | None = None,
     verbose: bool = True,
+    checkpoint_dir: str | Path | None = None,
 ) -> dict:
     """Run the full (trials x alpha) sweep of one experiment config.
 
@@ -317,6 +318,14 @@ def run_experiment(
     in_feat = data.feats["train"].shape[-1]
     results: dict = {}
     key = jax.random.PRNGKey(cfg.seed)
+
+    def _checkpointer(tr, alpha):
+        if checkpoint_dir is None:
+            return None
+        from tmgcn_tpu.train.checkpoint import RunCheckpointer
+
+        tag = f"tr{tr}" + (f"_w{round((alpha or 0) * 100)}" if alpha else "")
+        return RunCheckpointer(Path(checkpoint_dir) / cfg.name / tag)
 
     if cfg.task == "regression":
         model = build_model(cfg, data.spec.s_train, in_feat)
@@ -348,7 +357,10 @@ def run_experiment(
                     cw = np.array([1 / 3, 1 / 3, 1 / 3])
                 else:
                     cw = np.array([alpha, 1.0 - alpha])
-                res, _ = run_edge_classification(adapter, splits, cw, tcfg, key=sub)
+                res, _ = run_edge_classification(
+                    adapter, splits, cw, tcfg, key=sub,
+                    checkpointer=_checkpointer(tr, alpha),
+                )
                 results[(tr, alpha)] = res
         return {"results": results, "spec": data.spec}
 
@@ -367,6 +379,11 @@ def run_experiment(
         for alpha in alphas:
             key, sub = jax.random.split(key)
             cw = np.array([alpha, 1.0 - alpha])
-            res, _ = run_link_prediction(adapter, splits, cw, tcfg, key=sub)
+            res, _ = run_link_prediction(
+                adapter, splits, cw, tcfg, key=sub,
+                checkpointer=_checkpointer(tr, alpha),
+                loss_type=cfg.loss_type,
+                eval_type=cfg.eval_type,
+            )
             results[(tr, alpha)] = res
     return {"results": results, "spec": data.spec}

@@ -163,18 +163,35 @@ def apply_edge_life(
     return _csr_list_to_coo(out, A.n_nodes, pad_multiple)
 
 
-def normalize_laplacian(A: TemporalCOO, pad_multiple: int = 128) -> TemporalCOO:
-    """C[k] = D^{-1/2} (A[k] + I) D^{-1/2} with D = rowsums(A[k] + I)."""
+def normalize_laplacian(
+    A: TemporalCOO, pad_multiple: int = 128, kind: str = "sym"
+) -> TemporalCOO:
+    """Per-slice normalized adjacency with self-loops.
+
+    kind="sym": C = D^{-1/2}(A+I)D^{-1/2} (the pipeline default,
+    read_data.py:130-164); kind="col": column-stochastic C = (A+I)Dc^{-1}
+    (the reference's alternative normalization_type=0,
+    embedding_help_functions.py:36-59); kind="sym_mean": symmetrize by
+    (A+A^T)/2 first then sym-normalize (normalization_type=1, :61-100).
+    """
     csrs = _coo_to_csr_list(A)
     N = A.n_nodes
     eye = sp.identity(N, format="csr")
     out = []
     for m in csrs:
+        if kind == "sym_mean":
+            m = (m + m.T) * 0.5
         c = m + eye
-        deg = np.asarray(c.sum(axis=1)).ravel()
-        dinv = 1.0 / np.sqrt(deg)
-        D = sp.diags(dinv)
-        out.append(D @ c @ D)
+        if kind == "col":
+            col = np.asarray(c.sum(axis=0)).ravel()
+            out.append(c @ sp.diags(1.0 / col))
+        elif kind in ("sym", "sym_mean"):
+            deg = np.asarray(c.sum(axis=1)).ravel()
+            dinv = 1.0 / np.sqrt(deg)
+            D = sp.diags(dinv)
+            out.append(D @ c @ D)
+        else:
+            raise ValueError(f"unknown normalization kind: {kind!r}")
     return _csr_list_to_coo(out, N, pad_multiple)
 
 
@@ -214,6 +231,8 @@ class PreprocessConfig:
     n_diagonals: int = 20
     m_weight: str = "inverse"  # read_data.m M_choice=2
     m_row_normalize: bool = False
+    m_family: str = "banded"  # "banded" | "dct" (the paper's dense alternative)
+    normalization: str = "sym"  # see normalize_laplacian
     min_column_sum: float | None = None  # wikiconflict filtering
     pad_multiple: int = 128
 
@@ -239,7 +258,7 @@ def preprocess(raw: RawEdges, cfg: PreprocessConfig) -> PreprocessedData:
     B = symmetrize(A, cfg.pad_multiple) if cfg.make_symmetric else A
     if cfg.edge_life:
         B = apply_edge_life(B, cfg.edge_life_window, cfg.pad_multiple)
-    C = normalize_laplacian(B, cfg.pad_multiple)
+    C = normalize_laplacian(B, cfg.pad_multiple, kind=cfg.normalization)
 
     total = cfg.s_train + cfg.s_val + cfg.s_test
     if C.n_slices < total:
@@ -255,9 +274,14 @@ def preprocess(raw: RawEdges, cfg: PreprocessConfig) -> PreprocessedData:
         "test": (cfg.s_val + cfg.s_test, T + cfg.s_val + cfg.s_test),
     }
     C_windows = {w: C.slice_window(a, b) for w, (a, b) in bounds.items()}
-    M = make_m_matrix(
-        T, cfg.n_diagonals, weight=cfg.m_weight, row_normalize=cfg.m_row_normalize
-    )
+    if cfg.m_family == "dct":
+        from tmgcn_tpu.core.mmatrix import make_m_dct
+
+        M = make_m_dct(T)
+    else:
+        M = make_m_matrix(
+            T, cfg.n_diagonals, weight=cfg.m_weight, row_normalize=cfg.m_row_normalize
+        )
     Ct_windows = {
         w: m_transform_coo(Cw, M, pad_multiple=cfg.pad_multiple)
         for w, Cw in C_windows.items()

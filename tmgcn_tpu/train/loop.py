@@ -63,12 +63,21 @@ def _confusion(out: jax.Array, tgt: jax.Array) -> tuple[jax.Array, jax.Array, ja
     return tp, fp, fn
 
 
-def _make_steps(adapter: ModelAdapter, buffers: dict, opt, cw, with_confusion: bool):
+def _make_steps(
+    adapter: ModelAdapter,
+    buffers: dict,
+    opt,
+    cw,
+    with_confusion: bool,
+    logit_transform=None,
+):
     """Build (single_step, chunk_step) jitted training functions."""
 
     def sgd_step(params, opt_state, bundle, tgt):
         def loss_fn(p):
             out, carry = adapter.apply({"params": p, "buffers": buffers}, bundle, ())
+            if logit_transform is not None:
+                out = logit_transform(out)
             return weighted_cross_entropy(out, tgt, cw), (out, carry)
 
         (loss, (out, carry)), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
@@ -178,11 +187,17 @@ def run_link_prediction(
     key: jax.Array | None = None,
     variables: dict | None = None,
     checkpointer=None,
+    loss_type: str = "softmax",
+    eval_type: str = "MAP-MRR",
 ) -> tuple[np.ndarray, dict]:
-    """Train a link predictor; returns ((epochs, 9) metrics, variables).
+    """Train a link predictor; returns ((epochs, K) metrics, variables).
 
-    Row layout: [MAP_tr, MRR_tr, loss_tr, MAP_v, MRR_v, loss_v,
-    MAP_te, MRR_te, loss_te]; MAP/MRR refresh every eval_every epochs.
+    eval_type="MAP-MRR" (default): (epochs, 9) rows [MAP_tr, MRR_tr,
+    loss_tr, MAP_v, MRR_v, loss_v, MAP_te, MRR_te, loss_te];
+    eval_type="F1": the (epochs, 12) classification layout.
+    loss_type="sigmoid" expects 1-column model outputs and trains on
+    [p, 1-p] pairs (reference loss_type option,
+    experiment_bitcoin_our_link_prediction.py:195-197).
     """
     if variables is None:
         variables = adapter.init(key if key is not None else jax.random.PRNGKey(0))
@@ -194,15 +209,34 @@ def run_link_prediction(
 
     tgt_train = jnp.asarray(model_target(splits["train"]))
 
+    transform = None
+    if loss_type == "sigmoid":
+        from tmgcn_tpu.train.losses import sigmoid_pair_logits
+
+        transform = sigmoid_pair_logits
+    elif loss_type != "softmax":
+        raise ValueError(f"unknown loss_type {loss_type!r}")
+    if eval_type not in ("MAP-MRR", "F1"):
+        raise ValueError(f"unknown eval_type {eval_type!r}")
+    use_f1 = eval_type == "F1"
+
     opt = _optimizer(cfg)
     opt_state = opt.init(params)
     single_step, chunk_step, eval_forward = _make_steps(
-        adapter, buffers, opt, cw, with_confusion=False
+        adapter, buffers, opt, cw, with_confusion=False, logit_transform=transform
     )
 
-    results = np.zeros((cfg.n_epochs, 9))
-    val_stats = (0.0, 0.0, 0.0)
-    test_stats = (0.0, 0.0, 0.0)
+    def _pairs(out_np):
+        if transform is None:
+            return out_np
+        p = 1.0 / (1.0 + np.exp(-out_np.astype(np.float64)))
+        return np.concatenate([p, 1.0 - p], axis=1)
+
+    width = 12 if use_f1 else 9
+    results = np.zeros((cfg.n_epochs, width))
+    n_stats = 4 if use_f1 else 3
+    val_stats = (0.0,) * n_stats
+    test_stats = (0.0,) * n_stats
     ep = 0
     while ep < cfg.n_epochs:
         params, opt_state, loss, out_train, carry, _ = single_step(
@@ -210,7 +244,11 @@ def run_link_prediction(
         )
         s = splits["train"]
         keep = s.edges[0] != 0
-        map_tr, mrr_tr = M.map_mrr(np.asarray(out_train), s.target[keep], s.edges[:, keep])
+        out_tr = _pairs(np.asarray(out_train))
+        if use_f1:
+            tr_stats = (*M.precision_recall_f1(np.argmax(out_tr, 1), s.target[keep]),)
+        else:
+            tr_stats = M.map_mrr(out_tr, s.target[keep], s.edges[:, keep])
         stats = {}
         for wname in ("val", "test"):
             out, carry = eval_forward(params, adapter.bundles[wname], carry)
@@ -218,25 +256,26 @@ def run_link_prediction(
             if s.n_eval_tail is not None:
                 # Same-block windows: score only the new tail slices.
                 K = s.n_eval_tail
-                out_np = np.asarray(out)[-K:]
+                out_np = _pairs(np.asarray(out))[-K:]
                 tgt_np = s.target[-K:]
                 metric_edges = s.edges[:, -K:]
             else:
                 # Disjoint windows: score every model edge.
                 keep = s.edges[0] != 0
-                out_np = np.asarray(out)
+                out_np = _pairs(np.asarray(out))
                 tgt_np = s.target[keep]
                 metric_edges = s.edges[:, keep]
-            mp, mr = M.map_mrr(out_np, tgt_np, metric_edges)
             l = M.weighted_ce_loss_np(out_np, tgt_np, np.asarray(class_weights))
-            stats[wname] = (mp, mr, l)
+            if use_f1:
+                stats[wname] = (*M.precision_recall_f1(np.argmax(out_np, 1), tgt_np), l)
+            else:
+                stats[wname] = (*M.map_mrr(out_np, tgt_np, metric_edges), l)
         val_stats, test_stats = stats["val"], stats["test"]
-        results[ep] = [map_tr, mrr_tr, float(loss), *val_stats, *test_stats]
+        results[ep] = [*tr_stats, float(loss), *val_stats, *test_stats]
         if cfg.verbose:
             print(
-                f"ep {ep}: train MAP/MRR {map_tr:.4f}/{mrr_tr:.4f} "
-                f"loss {float(loss):.4f} | val MAP {val_stats[0]:.4f} | "
-                f"test MAP {test_stats[0]:.4f}"
+                f"ep {ep}: train {tr_stats} loss {float(loss):.4f} | "
+                f"val {val_stats[0]:.4f} | test {test_stats[0]:.4f}"
             )
         if checkpointer is not None:
             checkpointer.save(ep, params, opt_state, results)
@@ -249,7 +288,7 @@ def run_link_prediction(
             )
             losses = np.asarray(losses)
             for i in range(k):
-                results[ep + i] = [map_tr, mrr_tr, losses[i], *val_stats, *test_stats]
+                results[ep + i] = [*tr_stats, losses[i], *val_stats, *test_stats]
             ep += k
 
     return results, {"params": params, "buffers": buffers}
