@@ -101,7 +101,12 @@ def build_data(
         )
         M = make_m_matrix(spec.s_train, 20)
         X = degree_features_np(A)
-        windows = {w: A.slice_window(*spec.bounds(w)) for w in WINDOWS}
+        A_model = A
+        if cfg.sbm_normalize:
+            from tmgcn_tpu.preprocess.pipeline import normalize_laplacian
+
+            A_model = normalize_laplacian(A)
+        windows = {w: A_model.slice_window(*spec.bounds(w)) for w in WINDOWS}
         Ct = {w: m_transform_coo(windows[w], M) for w in WINDOWS}
         edges = A.edge_list()
         aug, labels = augment_edges(

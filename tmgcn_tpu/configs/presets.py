@@ -77,6 +77,23 @@ def _build_registry() -> dict[str, ExperimentConfig]:
             beta2=19,
             cutoff=35,
         )
+        # Recommended variant: normalized adjacency + lr that converges
+        # (the reference's raw-adjacency lr=0.01 setup diverges to NaN
+        # and only ever evaluates at epoch 0).
+        registry[f"{name}_tuned"] = ExperimentConfig(
+            name=f"{name}_tuned",
+            dataset="sbm",
+            method=method,
+            task="link_pred",
+            alpha_vec=(0.9,),
+            n_epochs=300,
+            eval_every=50,
+            lr=0.005,
+            beta1=19,
+            beta2=19,
+            cutoff=35,
+            sbm_normalize=True,
+        )
 
     for method in ("tmgcn", "evolvegcn", "wdgcn"):
         name = f"seir_{method}_reg"

@@ -57,6 +57,11 @@ class ExperimentConfig:
     sbm_n_nodes: int = 1000
     sbm_n_slices: int = 50
     sbm_node_change: int = 10
+    # The reference feeds the RAW SBM adjacency to the model (SBM_our.py
+    # :130-138, no normalization) — which diverges at lr=0.01.
+    # sbm_normalize=True applies the standard D^{-1/2}(A+I)D^{-1/2}
+    # instead (the framework's recommended configuration).
+    sbm_normalize: bool = False
     seir_n_nodes: int = 200
     seir_n_slices: int = 100
     seir_out_idx: int = 2

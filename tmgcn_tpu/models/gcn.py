@@ -92,6 +92,10 @@ class KWGCN:
         X: jax.Array,
         edges: jax.Array,
         AX: jax.Array | None = None,
+        readout_op=None,
     ) -> jax.Array:
         Z = self.embed(variables, C, X, AX).astype(self.dtype)
-        return edge_readout(Z, edges, variables["params"]["U"])
+        U = variables["params"]["U"]
+        if readout_op is not None:
+            return readout_op(Z, U)
+        return edge_readout(Z, edges, U)

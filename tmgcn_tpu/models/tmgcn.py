@@ -98,10 +98,14 @@ class TMGCN:
         edges: jax.Array,
         M: jax.Array,
         AtXt: jax.Array | None = None,
+        readout_op=None,
     ) -> jax.Array:
         """(E, C) edge logits."""
         Y = self.embed(variables, Ct, X, M, AtXt)
-        return edge_readout(Y, edges, variables["params"]["U"])
+        U = variables["params"]["U"]
+        if readout_op is not None:
+            return readout_op(Y, U)
+        return edge_readout(Y, edges, U)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -200,12 +204,16 @@ class TMGCN2:
         edges: jax.Array,
         M: jax.Array,
         AtXt: jax.Array | None = None,
+        readout_op=None,
     ) -> jax.Array:
         Z = self.embed(variables, Ct, X, M, AtXt)
         # Reference casts edge embeddings back to float32 at the head
         # (embedding_help_functions.py:355).
         Z = Z.astype(self.dtype)
-        return edge_readout(Z, edges, variables["params"]["U"])
+        U = variables["params"]["U"]
+        if readout_op is not None:
+            return readout_op(Z, U)
+        return edge_readout(Z, edges, U)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -105,9 +105,13 @@ class WDGCN:
         X: jax.Array,
         edges: jax.Array,
         AX: jax.Array | None = None,
+        readout_op=None,
     ) -> jax.Array:
         Z = self.embed(variables, A, X, AX)
-        return edge_readout(Z, edges, variables["buffers"]["U"])
+        U = variables["buffers"]["U"]
+        if readout_op is not None:
+            return readout_op(Z, U)
+        return edge_readout(Z, edges, U)
 
 
 @dataclasses.dataclass(frozen=True)

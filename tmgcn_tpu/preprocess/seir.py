@@ -28,12 +28,12 @@ class SEIRData:
 def simulate_seir(
     n_nodes: int = 200,
     n_slices: int = 100,
-    edge_prob: float = 0.02,
+    edge_prob: float = 0.03,
     rewire_prob: float = 0.1,
     beta: float = 0.3,
     sigma: float = 0.25,
-    gamma: float = 0.1,
-    initial_infected: int = 5,
+    gamma: float = 0.05,
+    initial_infected: int = 10,
     seed: int = 0,
 ) -> SEIRData:
     """Stochastic SEIR on a slowly rewiring random contact graph.

@@ -35,6 +35,16 @@ from tmgcn_tpu.models.wdgcn import WDGCN, WDGCNReg
 WINDOWS = ("train", "val", "test")
 
 
+def _readout_fn(bundle: dict):
+    """Bind a bundle's ReadoutPlan (if any) into an op(Y, U) callable."""
+    if "readout" not in bundle:
+        return None
+    from tmgcn_tpu.ops.edge_readout import apply_readout
+
+    plan = bundle["readout"]
+    return lambda Y, U: apply_readout(plan, Y, U)
+
+
 @dataclasses.dataclass
 class ModelAdapter:
     """Uniform (variables, bundle, carry) -> (output, carry) interface."""
@@ -67,10 +77,20 @@ def _prepare_bundles(
             # Prepack the TPU kernel's scatter plan once, host-side.
             from tmgcn_tpu.kernels.spmm_pallas import make_operator
 
+            n_slices, n_nodes = A.n_slices, A.n_nodes
             A = make_operator(A)
+        else:
+            n_slices, n_nodes = A.n_slices, A.n_nodes
         bundle = {"adj": A, "X": jnp.asarray(X)}
         if edges is not None:
             bundle["edges"] = jnp.asarray(np.asarray(edges[w]), dtype=jnp.int32)
+            if pallas_spmm:
+                # Fast readout backward through the same windowed kernel.
+                from tmgcn_tpu.ops.edge_readout import make_readout_plan
+
+                bundle["readout"] = make_readout_plan(
+                    np.asarray(edges[w]), n_slices, n_nodes
+                )
         if M is not None:
             Mw = np.asarray(M)
             if drop_last_slice:
@@ -120,6 +140,7 @@ def make_edge_adapter(
                 bundle["edges"],
                 bundle["M"],
                 bundle["cached"],
+                readout_op=_readout_fn(bundle),
             )
             return out, carry
 
@@ -131,7 +152,12 @@ def make_edge_adapter(
 
         def apply(variables, bundle, carry):
             out = model.apply(
-                variables, bundle["adj"], bundle["X"], bundle["edges"], bundle["cached"]
+                variables,
+                bundle["adj"],
+                bundle["X"],
+                bundle["edges"],
+                bundle["cached"],
+                readout_op=_readout_fn(bundle),
             )
             return out, carry
 

@@ -127,11 +127,14 @@ def l1_and_ratio(pred: np.ndarray, truth: np.ndarray) -> tuple[float, float]:
     T = pred.shape[0]
     loss = 0.0
     ratio = 0.0
-    for ts in range(T):
-        l1 = float(np.abs(pred[ts] - truth[ts]).sum())
-        loss += l1
-        ratio += l1 / float(np.abs(truth[ts]).sum())
-    return loss / T, ratio / T
+    with np.errstate(divide="ignore", invalid="ignore"):
+        for ts in range(T):
+            l1 = np.float64(np.abs(pred[ts] - truth[ts]).sum())
+            loss += l1
+            # A slice with ||y||_1 = 0 yields inf, as the reference's
+            # division does (test_graph_SEIR.py:179).
+            ratio += l1 / np.float64(np.abs(truth[ts]).sum())
+    return float(loss / T), float(ratio / T)
 
 
 def weighted_ce_loss_np(logits: np.ndarray, target: np.ndarray, weights: np.ndarray) -> float:
