@@ -48,10 +48,18 @@ def _cmd_preprocess(args) -> int:
 
 
 def _cmd_run(args) -> int:
+    import dataclasses
+
+    import jax
+
     from tmgcn_tpu.configs.build import run_experiment
     from tmgcn_tpu.configs.presets import get_preset
 
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     cfg = get_preset(args.preset)
+    if args.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.seed)
     alphas = tuple(args.alphas) if args.alphas else None
     t0 = time.time()
     out = run_experiment(
@@ -114,6 +122,9 @@ def main(argv=None) -> int:
     rp.add_argument("--alphas", type=float, nargs="*")
     rp.add_argument("--out")
     rp.add_argument("--checkpoint-dir")
+    rp.add_argument("--seed", type=int)
+    rp.add_argument("--debug-nans", action="store_true",
+                    help="raise on the first NaN produced on device")
     rp.add_argument("--quiet", action="store_true")
 
     args = ap.parse_args(argv)
