@@ -82,7 +82,19 @@ def _disjoint_windows(C: TemporalCOO, spec: WindowSpec) -> dict[str, TemporalCOO
 
 
 def _sbm_window_spec(cfg: ExperimentConfig) -> WindowSpec:
-    return WindowSpec(35, 5, 10, same_block_size=True)
+    """35/5/10 at the canonical T=50 (SBM_our.py:38-43), scaled for other T."""
+    T = cfg.sbm_n_slices
+    s_train = round(0.7 * T)
+    s_val = round(0.1 * T)
+    return WindowSpec(s_train, s_val, T - s_train - s_val, same_block_size=True)
+
+
+def _seir_window_spec(cfg: ExperimentConfig) -> WindowSpec:
+    """80/10/10 at the canonical T=100 (test_graph_SEIR.py:33), scaled."""
+    T = cfg.seir_n_slices
+    s_train = round(0.8 * T)
+    s_val = round(0.1 * T)
+    return WindowSpec(s_train, s_val, T - s_train - s_val, same_block_size=True)
 
 
 def build_data(
@@ -125,7 +137,7 @@ def build_data(
         )
 
     if cfg.dataset == "seir":
-        spec = WindowSpec(80, 10, 10, same_block_size=True)
+        spec = _seir_window_spec(cfg)
         data = simulate_seir(
             n_nodes=cfg.seir_n_nodes, n_slices=cfg.seir_n_slices, seed=cfg.seed
         )
@@ -150,8 +162,8 @@ def build_data(
     # else preprocess from the raw file (and cache the artifact).
     spec_entry = dsets.REGISTRY[cfg.dataset]
     p = spec_entry.preprocess
-    same_block = cfg.method == "tmgcn"
-    spec = WindowSpec(p.s_train, p.s_val, p.s_test, same_block_size=same_block)
+    spec = WindowSpec(p.s_train, p.s_val, p.s_test,
+                      same_block_size=cfg.same_block_size)
 
     if artifact is None and data_dir is not None:
         cached = Path(data_dir) / f"saved_content_{cfg.dataset}.mat"
@@ -159,7 +171,7 @@ def build_data(
             artifact = cached
 
     if artifact is not None and Path(artifact).exists():
-        loaded = load_artifact(artifact, s_train=p.s_train)
+        loaded = load_artifact(artifact, s_train=p.s_train, min_slices=spec.total)
         A_bin = loaded["A_binary"]
         A_labels = loaded["A_labels"]
         M = loaded["M"]
@@ -194,8 +206,12 @@ def build_data(
         C_full = pre.C
 
     X = degree_features_np(A_bin)
-    # Features beyond the windowed range may be needed for the same-block
-    # test window ([s_val+s_test, total)); window_features handles both.
+    if X.shape[0] < spec.total:
+        # Raw data spanning fewer slices than the window total: pad with
+        # empty slices, mirroring the pipeline's C padding
+        # (read_data.py:168-170 extends TT up to T+S_val+S_test).
+        pad = np.zeros((spec.total - X.shape[0],) + X.shape[1:])
+        X = np.concatenate([X, pad], axis=0)
     feats = window_features(X, spec)
 
     if cfg.method == "tmgcn":

@@ -24,6 +24,10 @@ def _build_registry() -> dict[str, ExperimentConfig]:
         n_classes = 3 if ds == "chess" else 2
         for method in METHODS:
             name = f"{ds}_{method}_cls"
+            # Chess uses fixed [1/3, 1/3, 1/3] class weights (its driver
+            # has no alpha sweep, experiment_chess_our.py:23); a sweep
+            # would rerun identical configs under different tags.
+            alphas = (0.33,) if n_classes == 3 else ALPHA_SWEEP_CLS
             registry[name] = ExperimentConfig(
                 name=name,
                 dataset=ds,
@@ -31,7 +35,7 @@ def _build_registry() -> dict[str, ExperimentConfig]:
                 task="edge_cls",
                 hidden_feat=(6, n_classes),
                 n_classes=n_classes,
-                alpha_vec=ALPHA_SWEEP_CLS,
+                alpha_vec=alphas,
                 n_epochs=10_000,
                 cutoff=95,
                 same_block_size=(method == "tmgcn"),

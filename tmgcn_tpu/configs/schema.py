@@ -75,6 +75,8 @@ class ExperimentConfig:
             raise ValueError(f"unknown task {self.task!r}")
         if len(self.hidden_feat) != self.n_layers + 1:
             raise ValueError("hidden_feat must have n_layers + 1 entries")
+        if self.apply_M_three_times and not self.apply_M_twice:
+            raise ValueError("apply_M_three_times requires apply_M_twice")
 
 
 ALPHA_SWEEP_CLS = tuple(round(0.75 + 0.01 * i, 2) for i in range(21))

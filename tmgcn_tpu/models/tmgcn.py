@@ -134,6 +134,14 @@ class TMGCN2:
     interlayer_dtype: jnp.dtype | None = None
     spmm_impl: str = "jnp"
 
+    def __post_init__(self):
+        if self.apply_M_three_times and not self.apply_M_twice:
+            raise ValueError(
+                "apply_M_three_times requires apply_M_twice (the third "
+                "mixing happens inside the M-twice branch, "
+                "embedding_help_functions.py:342-346)"
+            )
+
     def init(self, key: jax.Array) -> dict:
         f0, (f1, f2, c) = self.in_feat, self.hidden_feat
         k = split_dict(key, ["W1", "W2", "U"])

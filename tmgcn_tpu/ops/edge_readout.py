@@ -7,9 +7,8 @@ labeled edge (k, i, j), read node embeddings Y[k, i] and Y[k, j] from the
 (T, N, F) embedding tensor, concatenate to (E, 2F), and apply the final
 linear classifier U in R^{2F x C}.
 
-TPU notes: the gather is a flat take on (T*N, F) with static edge count
-(tasks pad the edge list; padded entries index slice 0/node 0 and are
-masked out of the loss). Its autodiff transpose is a scatter-add into
+TPU notes: the gather is a flat take on (T*N, F) with a static edge
+count per prepared window. Its autodiff transpose is a scatter-add into
 (T*N, F) which XLA executes deterministically on TPU. The concat is
 avoided by splitting U into source/target halves — two (E,F) x (F,C)
 matmuls that XLA fuses — which keeps the lane dimension dense instead of
@@ -165,15 +164,9 @@ def _readout_bwd(res, g):
     packed = plan.packed
     gathered = d_both[plan.sort_cols].reshape(packed.n_chunks, packed.chunk, F)
     dflat = windowed_segment_matmul(packed, gathered, interpret=plan.interpret)
-    dplan = jax.tree.map(
-        lambda x: (
-            jnp.zeros_like(x)
-            if jnp.issubdtype(x.dtype, jnp.floating)
-            else __import__("numpy").zeros(x.shape, dtype=jax.dtypes.float0)
-        ),
-        plan,
-    )
-    return dplan, dflat[: plan.n_rows].reshape(Y.shape), dU
+    from tmgcn_tpu.kernels.spmm_pallas import _zero_cotangent
+
+    return _zero_cotangent(plan), dflat[: plan.n_rows].reshape(Y.shape), dU
 
 
 apply_readout.defvjp(_readout_fwd, _readout_bwd)

@@ -38,11 +38,28 @@ def m_transform(M: jax.Array, X: jax.Array) -> jax.Array:
     return out.reshape(X.shape)
 
 
-def m_transform_inverse(M: jax.Array, X: jax.Array) -> jax.Array:
-    """Apply M^{-1} along the time axis (triangular solve when banded)."""
+def m_transform_inverse(
+    M: jax.Array, X: jax.Array, assume_lower_triangular: bool | None = None
+) -> jax.Array:
+    """Apply M^{-1} along the time axis.
+
+    Banded (lower-triangular) M uses a triangular solve; dense families
+    (DCT) need a general solve. Auto-detects on concrete M; pass the
+    flag explicitly when M is traced.
+    """
     T = X.shape[0]
     flat = X.reshape(T, -1)
-    out = jax.scipy.linalg.solve_triangular(M.astype(X.dtype), flat, lower=True)
+    lower = assume_lower_triangular
+    if lower is None:
+        try:
+            lower = bool(np.allclose(np.triu(np.asarray(M), k=1), 0.0))
+        except jax.errors.TracerArrayConversionError:
+            lower = False  # general solve is always correct
+    Mx = M.astype(X.dtype)
+    if lower:
+        out = jax.scipy.linalg.solve_triangular(Mx, flat, lower=True)
+    else:
+        out = jnp.linalg.solve(Mx, flat)
     return out.reshape(X.shape)
 
 

@@ -24,6 +24,8 @@ def halo_exchange_backward(x_loc: jax.Array, halo: int, axis_name: str = TIME_AX
     Returns (halo, ...) slices; the first shard receives zeros (there is
     no slice before t=0 — banded causal M has no wraparound).
     """
+    if halo <= 0:
+        return x_loc[:0]  # diagonal M: no neighbor slices needed
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
     send = x_loc[-halo:]

@@ -65,7 +65,8 @@ def _tensor_from_keys(
 
 
 def load_artifact(
-    path: str | Path, s_train: int, pad_multiple: int = 128
+    path: str | Path, s_train: int, pad_multiple: int = 128,
+    min_slices: int | None = None,
 ) -> dict:
     """Load a reference-schema .mat artifact.
 
@@ -77,7 +78,11 @@ def load_artifact(
     labels_subs = np.asarray(content["A_labels_subs"], dtype=np.int64)
     if labels_subs.shape[0] == 3 and labels_subs.shape[1] != 3:
         labels_subs = labels_subs.T
+    # Max subscript undercounts T when trailing slices carry no labeled
+    # edges; min_slices (s_train+s_val+s_test) restores the true extent.
     T = int(labels_subs[:, 0].max())
+    if min_slices is not None:
+        T = max(T, min_slices)
     N = int(max(labels_subs[:, 1].max(), labels_subs[:, 2].max()))
 
     out = {

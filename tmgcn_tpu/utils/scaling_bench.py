@@ -71,7 +71,7 @@ def run(max_devices: int | None = None, force_cpu: bool = False) -> list[dict]:
     for n_dev, n_graph, n_time in configs:
         mesh = make_mesh(n_graph=n_graph, n_time=n_time, devices=jax.devices()[:n_dev])
         A_sh = partition_rows(A, n_graph)
-        m_blocks = local_banded_m(M, n_time, halo) if n_time > 1 else local_banded_m(M, 1, halo)
+        m_blocks = local_banded_m(M, n_time, halo)
         e_sh, t_sh, m_sh = partition_edges_by_time(edges, targets, T, n_time)
         opt = optax.sgd(1e-4, momentum=0.9)
         step = make_sharded_train_step_halo(mesh, A_sh.n_local_rows, opt, m_blocks, halo)
