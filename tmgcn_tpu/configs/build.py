@@ -57,6 +57,13 @@ from tmgcn_tpu.train.loop import (
 WINDOWS = ("train", "val", "test")
 
 
+def _standardize(feats: dict[str, np.ndarray]) -> dict[str, np.ndarray]:
+    """Zero-mean/unit-variance per feature, fit on the training window."""
+    mu = feats["train"].mean(axis=(0, 1), keepdims=True)
+    sd = feats["train"].std(axis=(0, 1), keepdims=True) + 1e-8
+    return {w: (x - mu) / sd for w, x in feats.items()}
+
+
 @dataclasses.dataclass
 class ExperimentData:
     """Everything a run needs, prepared host-side."""
@@ -124,10 +131,13 @@ def build_data(
         aug, labels = augment_edges(
             edges, A.n_nodes, cfg.beta1, cfg.beta2, cfg.cutoff, seed=cfg.seed
         )
+        feats = window_features(X, spec)
+        if cfg.standardize_features:
+            feats = _standardize(feats)
         return ExperimentData(
             spec=spec,
             adj=Ct,
-            feats=window_features(X, spec),
+            feats=feats,
             M=M,
             edge_index=None,
             edge_values=None,
@@ -144,12 +154,19 @@ def build_data(
         X, y = seir_features_targets(data, out_idx=cfg.seir_out_idx)
         A = seir_temporal_adjacency(data)
         M = make_m_matrix(spec.s_train, 20)
+        if cfg.seir_normalize:
+            from tmgcn_tpu.preprocess.pipeline import normalize_laplacian
+
+            A = normalize_laplacian(A)
         windows = {w: A.slice_window(*spec.bounds(w)) for w in WINDOWS}
         Ct = {w: m_transform_coo(windows[w], M) for w in WINDOWS}
+        feats = window_features(X, spec)
+        if cfg.standardize_features:
+            feats = _standardize(feats)
         return ExperimentData(
             spec=spec,
             adj=Ct,
-            feats=window_features(X, spec),
+            feats=feats,
             M=M,
             edge_index=None,
             edge_values=None,
@@ -213,6 +230,8 @@ def build_data(
         pad = np.zeros((spec.total - X.shape[0],) + X.shape[1:])
         X = np.concatenate([X, pad], axis=0)
     feats = window_features(X, spec)
+    if cfg.standardize_features:
+        feats = _standardize(feats)
 
     if cfg.method == "tmgcn":
         adj = Ct
@@ -334,6 +353,8 @@ def run_experiment(
         momentum=cfg.momentum,
         eval_every=cfg.eval_every,
         verbose=verbose,
+        optimizer=cfg.optimizer,
+        grad_clip=cfg.grad_clip,
     )
 
     in_feat = data.feats["train"].shape[-1]

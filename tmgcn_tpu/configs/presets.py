@@ -92,11 +92,14 @@ def _build_registry() -> dict[str, ExperimentConfig]:
             alpha_vec=(0.9,),
             n_epochs=300,
             eval_every=50,
-            lr=0.005,
             beta1=19,
             beta2=19,
             cutoff=35,
+            lr=1e-3,
+            optimizer="adam",
+            grad_clip=1.0,
             sbm_normalize=True,
+            standardize_features=True,
         )
 
     for method in ("tmgcn", "evolvegcn", "wdgcn"):
@@ -108,6 +111,21 @@ def _build_registry() -> dict[str, ExperimentConfig]:
             task="regression",
             hidden_feat=(6, 2),
             n_epochs=100,
+        )
+        # Recommended variant: normalized contact graph + converging lr
+        # (the reference's raw-graph lr=0.01 diverges on comparable data).
+        registry[f"{name}_tuned"] = ExperimentConfig(
+            name=f"{name}_tuned",
+            dataset="seir",
+            method=method,
+            task="regression",
+            hidden_feat=(6, 2),
+            n_epochs=300,
+            lr=1e-3,
+            optimizer="adam",
+            grad_clip=1.0,
+            seir_normalize=True,
+            standardize_features=True,
         )
 
     return registry

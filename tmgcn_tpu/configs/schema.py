@@ -34,6 +34,8 @@ class ExperimentConfig:
     n_trials: int = 1
     lr: float = 0.01
     momentum: float = 0.9
+    optimizer: str = "sgd"  # "sgd" (reference) | "adam"
+    grad_clip: float | None = None
     eval_every: int = 100
 
     # Link prediction (negative sampling)
@@ -65,6 +67,14 @@ class ExperimentConfig:
     seir_n_nodes: int = 200
     seir_n_slices: int = 100
     seir_out_idx: int = 2
+    # Like sbm_normalize: the reference feeds the raw SEIR contact graph
+    # to the models (test_graph_SEIR.py:104-112); normalization makes the
+    # regression well-conditioned.
+    seir_normalize: bool = False
+    # Standardize node features to zero mean / unit variance using the
+    # training window's statistics (the reference trains on raw degree
+    # scales, which is ill-conditioned on synthetic data).
+    standardize_features: bool = False
 
     # Regression head feature count is inferred from the data.
 

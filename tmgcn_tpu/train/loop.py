@@ -41,10 +41,20 @@ class TrainConfig:
     momentum: float = 0.9
     eval_every: int = 100
     verbose: bool = False
+    optimizer: str = "sgd"  # "sgd" (reference) | "adam"
+    grad_clip: float | None = None  # global-norm clip (None = off)
 
 
 def _optimizer(cfg: TrainConfig) -> optax.GradientTransformation:
-    return optax.sgd(cfg.lr, momentum=cfg.momentum)
+    if cfg.optimizer == "adam":
+        opt = optax.adam(cfg.lr)
+    elif cfg.optimizer == "sgd":
+        opt = optax.sgd(cfg.lr, momentum=cfg.momentum)
+    else:
+        raise ValueError(f"unknown optimizer {cfg.optimizer!r}")
+    if cfg.grad_clip is not None:
+        opt = optax.chain(optax.clip_by_global_norm(cfg.grad_clip), opt)
+    return opt
 
 
 def _f1(tp: float, fp: float, fn: float) -> tuple[float, float, float]:
