@@ -35,6 +35,32 @@ from tmgcn_tpu.models.wdgcn import WDGCN, WDGCNReg
 WINDOWS = ("train", "val", "test")
 
 
+def _cache_edge_rows(bundle: dict, dtype) -> None:
+    """Precompute per-edge endpoint rows of the cached propagation."""
+    cached = bundle["cached"].astype(dtype)  # reference f32 buffer truncation
+    T, N, F0 = cached.shape
+    flat = cached.reshape(T * N, F0)
+    e = bundle["edges"]
+    bundle["cached_src"] = flat[e[0] * N + e[1]]
+    bundle["cached_trg"] = flat[e[0] * N + e[2]]
+
+
+def _fast_edge_logits(W, U, bundle: dict, dtype):
+    """logits = (AtXt_src @ W) @ U_src + (AtXt_trg @ W) @ U_trg.
+
+    Identical math to embed + edge_readout for 1-layer condensed models
+    (row selection commutes with the right-matmul by W).
+    """
+    import jax.numpy as _jnp
+
+    W = W.astype(dtype)
+    F1 = W.shape[-1]
+    U = U.astype(dtype)
+    src = _jnp.matmul(bundle["cached_src"], W)
+    trg = _jnp.matmul(bundle["cached_trg"], W)
+    return src @ U[:F1] + trg @ U[F1:]
+
+
 def _readout_fn(bundle: dict):
     """Bind a bundle's ReadoutPlan (if any) into an op(Y, U) callable."""
     if "readout" not in bundle:
@@ -132,6 +158,22 @@ def make_edge_adapter(
         for b in bundles.values():
             b["cached"] = model.propagate(b["adj"], b["X"], b["M"])
 
+        # Gather-free fast path for 1-layer condensed TM-GCN (the config
+        # every reference experiment uses): row selection commutes with
+        # the weight matmul, so the per-edge endpoint rows of AtXt are
+        # precomputed once and a training epoch is pure matmul — no
+        # gather in the forward, no scatter in the backward.
+        if isinstance(model, TMGCN) and model.condensed_W and not model.use_Minv:
+            for b in bundles.values():
+                _cache_edge_rows(b, model.dtype)
+
+            def apply(variables, bundle, carry):
+                return _fast_edge_logits(
+                    variables["params"]["W"], variables["params"]["U"], bundle, model.dtype
+                ), carry
+
+            return ModelAdapter(model.init, apply, bundles, lambda variables: ())
+
         def apply(variables, bundle, carry):
             out = model.apply(
                 variables,
@@ -149,6 +191,17 @@ def make_edge_adapter(
     if isinstance(model, (KWGCN, WDGCN)):
         for b in bundles.values():
             b["cached"] = model.propagate(b["adj"], b["X"])
+
+        if isinstance(model, KWGCN) and model.n_layers == 1:
+            for b in bundles.values():
+                _cache_edge_rows(b, model.dtype)
+
+            def apply(variables, bundle, carry):
+                return _fast_edge_logits(
+                    variables["params"]["W1"], variables["params"]["U"], bundle, model.dtype
+                ), carry
+
+            return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
         def apply(variables, bundle, carry):
             out = model.apply(

@@ -78,10 +78,19 @@ def mrr_from_edges(probs: np.ndarray, true_classes: np.ndarray, adj: np.ndarray)
     shape = (int(adj[0].max()) + 1, int(adj[1].max()) + 1)
     pred = sp.coo_matrix((probs, (adj[0], adj[1])), shape=shape).toarray()
     true = sp.coo_matrix((true_classes, (adj[0], adj[1])), shape=shape).toarray()
-    rows = [row_mrr(pred[i], true[i]) for i in range(shape[0]) if np.isin(1, true[i])]
-    if not rows:
+    keep = np.nonzero((true == 1).any(axis=1))[0]
+    if keep.size == 0:
         return float("nan")
-    return float(np.mean(rows))
+    pred = pred[keep]
+    true = true[keep]
+    # Vectorized row_mrr with identical ordering/tie semantics:
+    # order = flip(argsort(row)) per row, existing = (true == 0).
+    order = np.flip(np.argsort(pred, axis=1, kind="stable"), axis=1)
+    existing_sorted = np.take_along_axis(true == 0, order, axis=1)
+    ranks = np.arange(1, shape[1] + 1, dtype=np.float64)[None, :]
+    inv_sum = np.where(existing_sorted, 1.0 / ranks, 0.0).sum(axis=1)
+    counts = existing_sorted.sum(axis=1)
+    return float(np.mean(inv_sum / counts))
 
 
 def softmax_pos0(logits: np.ndarray) -> np.ndarray:
