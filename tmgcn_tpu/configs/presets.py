@@ -100,6 +100,7 @@ def _build_registry() -> dict[str, ExperimentConfig]:
             grad_clip=1.0,
             sbm_normalize=True,
             standardize_features=True,
+            spmm_impl="pallas",
         )
 
     for method in ("tmgcn", "evolvegcn", "wdgcn"):
@@ -126,6 +127,7 @@ def _build_registry() -> dict[str, ExperimentConfig]:
             grad_clip=1.0,
             seir_normalize=True,
             standardize_features=True,
+            spmm_impl="pallas",
         )
 
     return registry

@@ -339,9 +339,15 @@ def make_operator(
     chunk: int = DEFAULT_CHUNK,
     window: int = DEFAULT_WINDOW,
     fast: bool = False,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> PallasSpmmOperator:
-    """Prepack forward + transpose scatter plans for A (host-side)."""
+    """Prepack forward + transpose scatter plans for A (host-side).
+
+    interpret=None auto-selects the Pallas interpreter on non-TPU
+    backends (Mosaic kernels only compile for TPU).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
     return PallasSpmmOperator(
         T=A.n_slices,
         N=A.n_nodes,

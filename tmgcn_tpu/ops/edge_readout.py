@@ -97,10 +97,16 @@ class ReadoutPlan:
 
 def make_readout_plan(
     edges, n_slices: int, n_nodes: int, chunk: int = 256, window: int = 256,
-    interpret: bool = False,
+    interpret: bool | None = None,
 ) -> ReadoutPlan:
-    """Build the plan host-side, once per edge set."""
+    """Build the plan host-side, once per edge set.
+
+    interpret=None auto-selects the Pallas interpreter off-TPU.
+    """
     import numpy as np
+
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     from tmgcn_tpu.core.sparse import TemporalCOO
     from tmgcn_tpu.kernels.spmm_pallas import pack_windowed
