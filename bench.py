@@ -19,8 +19,11 @@ from __future__ import annotations
 import json
 import sys
 import time
+import warnings
 
 import numpy as np
+
+warnings.filterwarnings("ignore", message=".*[Ss]parse.*")
 
 N_TIMED = 400
 N_WARMUP = 3
