@@ -85,3 +85,24 @@ class TestRunExperimentSmoke:
         res = out["results"][(0, 0.9)]
         assert res.shape == (4, 9)
         assert np.isfinite(res[:, 2]).all()
+
+
+class TestDeterminism:
+    def test_same_seed_identical_results(self):
+        cfg = dataclasses.replace(
+            get_preset("sbm_tmgcn_lp"), sbm_n_nodes=50, sbm_n_slices=10,
+            beta1=2, beta2=2,
+        )
+        r1 = run_experiment(cfg, n_epochs=3, verbose=False)["results"][(0, 0.9)]
+        r2 = run_experiment(cfg, n_epochs=3, verbose=False)["results"][(0, 0.9)]
+        np.testing.assert_array_equal(r1, r2)
+
+    def test_different_seed_differs(self):
+        cfg = dataclasses.replace(
+            get_preset("sbm_tmgcn_lp"), sbm_n_nodes=50, sbm_n_slices=10,
+            beta1=2, beta2=2,
+        )
+        r1 = run_experiment(cfg, n_epochs=3, verbose=False)["results"][(0, 0.9)]
+        cfg2 = dataclasses.replace(cfg, seed=1)
+        r2 = run_experiment(cfg2, n_epochs=3, verbose=False)["results"][(0, 0.9)]
+        assert not np.array_equal(r1, r2)
