@@ -104,6 +104,16 @@ class EvolveGCN:
             buffers["W_init2"] = randn(k["W_init2"], (f[1], f[2]), self.dtype)
         return {"params": params, "buffers": buffers}
 
+    def propagate(self, A: TemporalCOO, X: jax.Array) -> jax.Array:
+        """AX per slice — constant across training epochs, cacheable.
+
+        GCONV computes (A @ X) @ W_t (evolvegcn_functions.py:97-101);
+        with AX cached the 1-layer scan contains no SpMM at all.
+        """
+        from tmgcn_tpu.ops.spmm import spmm
+
+        return spmm(A, X)
+
     def embed_and_weights(
         self,
         variables: dict,
@@ -111,6 +121,7 @@ class EvolveGCN:
         X: jax.Array,
         W_init: jax.Array | None = None,
         W_init2: jax.Array | None = None,
+        AX: jax.Array | None = None,
     ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
         """Scan over time; return (T, N, F_last) embeddings + final weights."""
         p = variables["params"]
@@ -119,6 +130,16 @@ class EvolveGCN:
         n = A.n_nodes
 
         if self.n_layers == 1:
+            if AX is not None:
+
+                def step_cached(W, xs):
+                    ax, x = xs
+                    W = _evolve_step(p["cell1"], W, x)
+                    h = jnp.matmul(ax, W)
+                    return W, h.astype(self.store_dtype)
+
+                W_fin, Y = jax.lax.scan(step_cached, W0, (AX, X))
+                return Y, (W_fin,)
 
             def step(W, xs):
                 rows, cols, vals, x = xs
@@ -151,9 +172,10 @@ class EvolveGCN:
         edges: jax.Array,
         W_init: jax.Array | None = None,
         W_init2: jax.Array | None = None,
+        AX: jax.Array | None = None,
     ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
         """Returns ((E, C) logits, evolved final weights)."""
-        Y, finals = self.embed_and_weights(variables, A, X, W_init, W_init2)
+        Y, finals = self.embed_and_weights(variables, A, X, W_init, W_init2, AX)
         return edge_readout(Y, edges, variables["params"]["U"]), finals
 
 
