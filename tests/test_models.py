@@ -224,3 +224,20 @@ class TestTMGCNReg:
         v = model.init(jax.random.PRNGKey(11))
         out = model.apply(v, A, jnp.asarray(X), jnp.asarray(M))
         assert out.shape == (T, N)
+
+
+class TestEvolveGCNCachedAX:
+    @pytest.mark.parametrize("layers", [1, 2])
+    def test_cached_matches_uncached(self, data, layers):
+        dense, A, X, edges, _ = data
+        hidden = (2, 2) if layers == 1 else (2, 2, 2)
+        model = EvolveGCN(n_slices=T, in_feat=F0, hidden_feat=hidden, dtype=jnp.float64)
+        v = model.init(jax.random.PRNGKey(12))
+        Xj = jnp.asarray(X)
+        ej = jnp.asarray(edges)
+        out_ref, finals_ref = model.apply(v, A, Xj, ej)
+        AX = model.propagate(A, Xj)
+        out_cached, finals_cached = model.apply(v, A, Xj, ej, AX=AX)
+        np.testing.assert_array_equal(np.asarray(out_cached), np.asarray(out_ref))
+        for a, b in zip(finals_cached, finals_ref):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

@@ -27,7 +27,7 @@ import jax.numpy as jnp
 from tmgcn_tpu.core.sparse import TemporalCOO
 from tmgcn_tpu.models.common import randn, split_dict
 from tmgcn_tpu.ops.edge_readout import edge_readout
-from tmgcn_tpu.ops.spmm import spmm_slice
+from tmgcn_tpu.ops.spmm import spmm, spmm_slice
 
 
 def summarize(X: jax.Array, p: jax.Array, k: int) -> jax.Array:
@@ -108,10 +108,9 @@ class EvolveGCN:
         """AX per slice — constant across training epochs, cacheable.
 
         GCONV computes (A @ X) @ W_t (evolvegcn_functions.py:97-101);
-        with AX cached the 1-layer scan contains no SpMM at all.
+        with AX cached the 1-layer scan contains no SpMM at all, and the
+        2-layer scan keeps only its layer-2 (parameter-dependent) SpMM.
         """
-        from tmgcn_tpu.ops.spmm import spmm
-
         return spmm(A, X)
 
     def embed_and_weights(
@@ -151,6 +150,22 @@ class EvolveGCN:
             return Y, (W_fin,)
 
         W20 = b["W_init2"] if W_init2 is None else W_init2
+
+        if AX is not None:
+
+            def step2_cached(carry, xs):
+                W, W2 = carry
+                rows, cols, vals, x, ax = xs
+                W = _evolve_step(p["cell1"], W, x)
+                h = jax.nn.relu(jnp.matmul(ax, W))
+                W2 = _evolve_step(p["cell2"], W2, h)
+                h = jnp.matmul(spmm_slice(rows, cols, vals, h, n), W2)
+                return (W, W2), h.astype(self.store_dtype)
+
+            (W_fin, W2_fin), Y = jax.lax.scan(
+                step2_cached, (W0, W20), (A.rows, A.cols, A.vals, X, AX)
+            )
+            return Y, (W_fin, W2_fin)
 
         def step2(carry, xs):
             W, W2 = carry

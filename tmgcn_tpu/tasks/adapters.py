@@ -217,11 +217,11 @@ def make_edge_adapter(
         return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
     if isinstance(model, EvolveGCN):
-        if model.n_layers == 1:
-            # Layer-1 propagation is parameter-independent: cache A@X so
-            # the evolved-weight scan contains no SpMM.
-            for b in bundles.values():
-                b["cached_ax"] = model.propagate(b["adj"], b["X"])
+        # Layer-1 propagation is parameter-independent: cache A@X so the
+        # evolved-weight scan keeps only parameter-dependent SpMMs
+        # (none for 1-layer; layer-2 only for 2-layer).
+        for b in bundles.values():
+            b["cached_ax"] = model.propagate(b["adj"], b["X"])
 
         def apply(variables, bundle, carry):
             inits = carry if carry else ()
