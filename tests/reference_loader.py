@@ -32,8 +32,14 @@ def _stub(name: str) -> None:
     sys.modules[name] = mod
 
 
-def load_reference_module(module_name: str):
-    """Load e.g. 'embedding_help_functions' from the reference tree."""
+def load_reference_module(module_name: str, transforms=None, alias: str | None = None):
+    """Load e.g. 'embedding_help_functions' from the reference tree.
+
+    transforms: optional (old, new) source text replacements applied
+    before exec — used to adapt dtype idioms that modern torch rejects
+    (e.g. float32-ifying a float64 pipeline for oracle runs).
+    alias: module name to register (defaults to reference_<name>).
+    """
     import numpy as np
 
     if not hasattr(np, "float"):
@@ -49,7 +55,19 @@ def load_reference_module(module_name: str):
     ]:
         _stub(name)
     path = REFERENCE_DIR / f"{module_name}.py"
-    spec = importlib.util.spec_from_file_location(f"reference_{module_name}", path)
+    modname = alias or f"reference_{module_name}"
+    if transforms:
+        src = path.read_text()
+        for old, new in transforms:
+            src = src.replace(old, new)
+        mod = importlib.util.module_from_spec(
+            importlib.util.spec_from_loader(modname, loader=None)
+        )
+        mod.__file__ = str(path)
+        sys.modules[modname] = mod
+        exec(compile(src, str(path), "exec"), mod.__dict__)
+        return mod
+    spec = importlib.util.spec_from_file_location(modname, path)
     mod = importlib.util.module_from_spec(spec)
     sys.modules[spec.name] = mod
     spec.loader.exec_module(mod)

@@ -22,9 +22,13 @@ from tmgcn_tpu.preprocess.pipeline import PreprocessedData
 
 
 def _subs_vals(A: TemporalCOO) -> tuple[np.ndarray, np.ndarray]:
-    """(nnz, 3) 1-based subscripts and (nnz,) values, MATLAB layout."""
+    """(nnz, 3) 1-based subscripts and (nnz,) values, MATLAB layout.
+
+    Subscripts are stored as int64 (modern torch rejects float sizes in
+    the reference loaders; int arrays satisfy both loaders).
+    """
     edges, vals = A.edge_list(with_values=True)
-    return (edges.T + 1).astype(np.float64), vals
+    return (edges.T + 1).astype(np.int64), vals
 
 
 def save_artifact(path: str | Path, data: PreprocessedData) -> None:
