@@ -105,3 +105,52 @@ class TestRoofline:
         full = m_transform_cost(80, 7301, 6)
         banded = m_transform_cost(80, 7301, 6, band=20)
         assert banded.flops == pytest.approx(full.flops * 20 / 80)
+
+
+class TestResume:
+    def test_classification_resumes_from_checkpoint(self, tmp_path):
+        import jax.numpy as jnp
+
+        from tmgcn_tpu.core.mmatrix import make_m_matrix
+        from tmgcn_tpu.core.sparse import TemporalCOO
+        from tmgcn_tpu.models.tmgcn import TMGCN
+        from tmgcn_tpu.tasks.adapters import make_edge_adapter
+        from tmgcn_tpu.tasks.windows import EdgeSplit
+        from tmgcn_tpu.train.loop import TrainConfig, run_edge_classification
+
+        rng = np.random.default_rng(3)
+        T, N = 4, 30
+        dense = (rng.random((T, N, N)) < 0.1) * 1.0
+        A = TemporalCOO.from_dense(dense, dtype=jnp.float64, pad_multiple=16)
+        M = make_m_matrix(T, 2)
+        X = rng.standard_normal((T, N, 2))
+        edges = np.stack(
+            [rng.integers(0, T, 40), rng.integers(0, N, 40), rng.integers(0, N, 40)]
+        )
+        splits = {
+            w: EdgeSplit(edges=edges, target=rng.integers(0, 2, 40),
+                         eval_mask=np.ones(40, bool))
+            for w in ("train", "val", "test")
+        }
+        model = TMGCN(n_slices=T, in_feat=2, hidden_feat=(4, 2), dtype=jnp.float64)
+        adapter = make_edge_adapter(
+            model, {w: A for w in splits}, {w: X for w in splits},
+            {w: splits[w].edges for w in splits}, M=M,
+        )
+        cw = np.array([0.9, 0.1])
+        key = jax.random.PRNGKey(7)
+
+        # Uninterrupted 8-epoch run.
+        cfg8 = TrainConfig(n_epochs=8, eval_every=4, lr=1e-4)
+        full, _ = run_edge_classification(adapter, splits, cw, cfg8, key=key)
+
+        # 4 epochs + checkpoint, then resume to 8 with a fresh loop.
+        ck = RunCheckpointer(tmp_path / "resume")
+        cfg4 = TrainConfig(n_epochs=4, eval_every=4, lr=1e-4)
+        run_edge_classification(adapter, splits, cw, cfg4, key=key, checkpointer=ck)
+        resumed, _ = run_edge_classification(
+            adapter, splits, cw, cfg8, key=key, checkpointer=ck
+        )
+        ck.close()
+        # Identical training losses after the resume point.
+        np.testing.assert_allclose(resumed[4:, 3], full[4:, 3], rtol=1e-10)

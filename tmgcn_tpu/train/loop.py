@@ -147,6 +147,15 @@ def run_edge_classification(
     val_stats = (0.0,) * 4
     test_stats = (0.0,) * 4
     ep = 0
+    if checkpointer is not None and checkpointer.latest_epoch() is not None:
+        step, restored = checkpointer.restore(
+            {"params": params, "opt_state": opt_state, "results": results}
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        results[: step + 1] = restored["results"][: step + 1]
+        val_stats = tuple(results[step, 4:8])
+        test_stats = tuple(results[step, 8:12])
+        ep = step + 1
     while ep < cfg.n_epochs:
         # Evaluation epoch: one step, then score val/test.
         params, opt_state, loss, _, carry, (tp, fp, fn) = single_step(
@@ -248,6 +257,15 @@ def run_link_prediction(
     val_stats = (0.0,) * n_stats
     test_stats = (0.0,) * n_stats
     ep = 0
+    if checkpointer is not None and checkpointer.latest_epoch() is not None:
+        step, restored = checkpointer.restore(
+            {"params": params, "opt_state": opt_state, "results": results}
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        results[: step + 1] = restored["results"][: step + 1]
+        val_stats = tuple(results[step, width - 2 * n_stats : width - n_stats])
+        test_stats = tuple(results[step, width - n_stats :])
+        ep = step + 1
     while ep < cfg.n_epochs:
         params, opt_state, loss, out_train, carry, _ = single_step(
             params, opt_state, adapter.bundles["train"], tgt_train
