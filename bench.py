@@ -1,17 +1,27 @@
 """Benchmark: TM-GCN training throughput on the chess dataset.
 
-Measures the steady-state full-batch training epoch of TM-GCN 1-layer
-edge classification on the in-repo chess dataset (80 train slices,
-N=7301, ~50k labeled edges, reference protocol incl. per-epoch
-confusion counts), and compares against a reference-equivalent PyTorch
-CPU implementation of the same epoch (the reference framework is
-CPU-only: its training epoch is cached-AtXt matmul + edge gather + CE
-backward + SGD, embedding_help_functions.py:210-234 — reimplemented
-here from that spec, not copied).
+Two workloads, both full reference protocol epochs on the in-repo chess
+dataset (N=7301, 80 train slices, ~50k labeled edges):
 
-Prints ONE JSON line:
-    {"metric": "chess_tmgcn_train_edges_per_s", "value": ...,
-     "unit": "edges/s", "vs_baseline": ours / torch_cpu_reference}
+  * 1-layer TM-GCN edge classification — the gather-free cached path
+    (no SpMM inside the epoch; reference: cached-AtXt matmul + edge
+    gather + CE backward + SGD, embedding_help_functions.py:210-234).
+  * 2-layer TM-GCN ([6,6,3], selu) — the layer-2 propagation A ⊛ Y runs
+    EVERY epoch (forward + its Aᵀ backward), exercising the SpMM
+    implementations for real (reference hot loop:
+    embedding_help_functions.py:301-312,328-349).
+
+Both are compared against reference-equivalent PyTorch CPU epochs
+reimplemented from the reference spec with its actual dtype mix (f32
+buffers/params; the reference's own f64 interlayer cast in the 2-layer
+model, embedding_help_functions.py:335) — not copied.
+
+Also reports the layer-2 SpMM in isolation as Mnnz/s and a fraction of
+the chip roofline (utils/profiling.spmm_cost).
+
+Prints ONE JSON line; the headline metric stays 1-layer edges/s for
+cross-round comparability, with the 2-layer and roofline numbers under
+"extra".
 """
 
 from __future__ import annotations
@@ -26,6 +36,7 @@ import numpy as np
 warnings.filterwarnings("ignore", message=".*[Ss]parse.*")
 
 N_TIMED = 400
+N_TIMED2 = 100
 N_WARMUP = 3
 N_TORCH = 10
 
@@ -43,7 +54,7 @@ def prepare():
     return cfg, data, splits
 
 
-def bench_ours(cfg, data, splits, spmm_impl="jnp") -> tuple[float, int]:
+def bench_ours(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED) -> tuple[float, int]:
     """Returns (epoch_seconds, n_train_edges)."""
     import dataclasses
 
@@ -97,18 +108,18 @@ def bench_ours(cfg, data, splits, spmm_impl="jnp") -> tuple[float, int]:
         return params, opt_state, aux
 
     bundle = adapter.bundles["train"]
-    params, opt_state, aux = train_chunk(params, opt_state, bundle, tgt, N_TIMED)
+    params, opt_state, aux = train_chunk(params, opt_state, bundle, tgt, n_timed)
     jax.block_until_ready(aux)  # warmup + compile
 
     t0 = time.perf_counter()
-    params, opt_state, aux = train_chunk(params, opt_state, bundle, tgt, N_TIMED)
+    params, opt_state, aux = train_chunk(params, opt_state, bundle, tgt, n_timed)
     _ = np.asarray(aux[0]), np.asarray(aux[1])
-    dt = (time.perf_counter() - t0) / N_TIMED
+    dt = (time.perf_counter() - t0) / n_timed
     return dt, int(splits["train"].target.shape[0])
 
 
-def bench_torch_reference(data, splits) -> float:
-    """Reference-equivalent training epoch in PyTorch on CPU."""
+def _torch_setup(data, splits):
+    """Shared torch-side data prep: cached AtXt (reference dtype mix)."""
     import torch as t
 
     T = data.spec.s_train
@@ -117,30 +128,62 @@ def bench_torch_reference(data, splits) -> float:
     X = t.tensor(np.asarray(data.feats["train"]), dtype=t.float64)
     M = t.tensor(np.asarray(data.M), dtype=t.float64)
 
-    # Cached AtXt exactly as the reference computes it at model init.
     rows = np.asarray(Ct.rows)
     cols = np.asarray(Ct.cols)
     vals = np.asarray(Ct.vals, dtype=np.float64)
     nnz = np.asarray(Ct.nnz)
-    Xt = t.matmul(M, X.reshape(T, -1)).reshape(X.size())
-    AtXt = t.zeros(T, N, X.shape[-1], dtype=t.float64)
+    # Per-slice sparse tensors, f64 (loadmat dtype) — kept for the
+    # 2-layer per-epoch propagation.
+    A_slices = []
     for k in range(T):
         n = int(nnz[k])
         idx = t.tensor(np.stack([rows[k, :n], cols[k, :n]]), dtype=t.long)
-        a = t.sparse_coo_tensor(idx, t.tensor(vals[k, :n]), (N, N))
-        AtXt[k] = t.sparse.mm(a, Xt[k])
+        A_slices.append(t.sparse_coo_tensor(idx, t.tensor(vals[k, :n]), (N, N)))
+
+    # Cached AtXt exactly as the reference computes it at model init:
+    # f64 math truncated into the f32 default-dtype buffer
+    # (embedding_help_functions.py:204-205).
+    Xt = t.matmul(M, X.reshape(T, -1)).reshape(X.size())
+    AtXt = t.zeros(T, N, X.shape[-1])
+    for k in range(T):
+        AtXt[k] = t.sparse.mm(A_slices[k], Xt[k])
 
     edges = t.tensor(splits["train"].edges, dtype=t.long)
     target = t.tensor(splits["train"].target, dtype=t.long)
     src = edges[0] * N + edges[1]
     trg = edges[0] * N + edges[2]
+    return T, N, A_slices, AtXt, src, trg, target
 
-    W = t.randn(X.shape[-1], 6, dtype=t.float64, requires_grad=True)
-    U = t.randn(12, 3, dtype=t.float64, requires_grad=True)
+
+def _torch_best_of_rounds(epoch_fn, rounds=3, iters=N_TORCH):
+    """Best of 3 rounds: the host CPU is shared; a loaded machine would
+    otherwise understate the reference's throughput."""
+    epoch_fn()  # warmup
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            epoch_fn()
+        best = min(best, (time.perf_counter() - t0) / iters)
+    return best
+
+
+def bench_torch_reference(data, splits) -> float:
+    """Reference-equivalent 1-layer training epoch in PyTorch on CPU.
+
+    Dtype mix matches the reference's actual precisions: W/U are
+    default-f32 ``t.randn`` (embedding_help_functions.py:189-192), the
+    cached AtXt is a default-dtype f32 buffer — the timed epoch is
+    entirely float32, like the reference's.
+    """
+    import torch as t
+
+    _, _, _, AtXt, src, trg, target = _torch_setup(data, splits)
+
+    W = t.randn(AtXt.shape[-1], 6, requires_grad=True)
+    U = t.randn(12, 3, requires_grad=True)
     opt = t.optim.SGD([W, U], lr=0.01, momentum=0.9)
-    crit = t.nn.CrossEntropyLoss(
-        weight=t.tensor([1 / 3, 1 / 3, 1 / 3], dtype=t.float64)
-    )
+    crit = t.nn.CrossEntropyLoss(weight=t.tensor([1 / 3, 1 / 3, 1 / 3]))
 
     def epoch():
         opt.zero_grad()
@@ -157,31 +200,125 @@ def bench_torch_reference(data, splits) -> float:
                 t.sum((guess != 0) & (target == 0)),
             )
 
-    epoch()  # warmup
-    # Best of 3 rounds: the host CPU is shared, and a loaded machine
-    # would otherwise understate the reference's throughput.
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        for _ in range(N_TORCH):
-            epoch()
-        best = min(best, (time.perf_counter() - t0) / N_TORCH)
-    return best
+    return _torch_best_of_rounds(epoch)
+
+
+def bench_torch_reference2(data, splits) -> float:
+    """Reference-equivalent 2-layer training epoch in PyTorch on CPU.
+
+    Faithful to EmbeddingGCN2's forward (embedding_help_functions.py:
+    328-356): cached f32 AtXt -> W1 -> selu -> ``Y.double()`` (:335) ->
+    per-slice ``t.sparse.mm`` loop into an f32 buffer (:301-303) -> W2
+    -> edge gather -> ``.float()`` head (:355). The per-epoch sparse
+    loop and its autograd backward are the hot ops.
+    """
+    import torch as t
+
+    T, N, A_slices, AtXt, src, trg, target = _torch_setup(data, splits)
+
+    W1 = t.randn(AtXt.shape[-1], 6, requires_grad=True)
+    W2 = t.randn(6, 6, requires_grad=True)
+    U = t.randn(12, 3, requires_grad=True)
+    opt = t.optim.SGD([W1, W2, U], lr=0.01, momentum=0.9)
+    crit = t.nn.CrossEntropyLoss(weight=t.tensor([1 / 3, 1 / 3, 1 / 3]))
+
+    def epoch():
+        opt.zero_grad()
+        Y = t.selu(t.matmul(AtXt, W1)).double()
+        AY = [t.sparse.mm(A_slices[k], Y[k]).float() for k in range(T)]
+        Z = t.matmul(t.stack(AY), W2.float()).reshape(-1, 6)
+        out = t.cat((Z[src], Z[trg]), dim=1).float() @ U
+        loss = crit(out, target)
+        loss.backward()
+        opt.step()
+        with t.no_grad():
+            guess = t.argmax(out, dim=1)
+            _ = (
+                t.sum((guess == 0) & (target == 0)),
+                t.sum((guess == 0) & (target != 0)),
+                t.sum((guess != 0) & (target == 0)),
+            )
+
+    return _torch_best_of_rounds(epoch, iters=max(3, N_TORCH // 2))
+
+
+def bench_spmm_isolated(data, impl: str) -> dict:
+    """Layer-2-shaped SpMM (F=6) alone: Mnnz/s + roofline fraction."""
+    import jax
+    import jax.numpy as jnp
+
+    from tmgcn_tpu.utils.profiling import measure, spmm_cost
+
+    Ct = data.adj["train"]
+    T, N, F = Ct.n_slices, Ct.n_nodes, 6
+    nnz = int(np.asarray(Ct.nnz).sum())
+    X = jnp.asarray(
+        np.random.default_rng(0).standard_normal((T, N, F)), jnp.float32
+    )
+    if impl == "rowsplit":
+        from tmgcn_tpu.ops.spmm_rowsplit import make_operator
+
+        op = make_operator(Ct)
+    elif impl == "pallas":
+        from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+        op = make_operator(Ct)
+    else:
+        from tmgcn_tpu.ops.spmm import spmm
+
+        op = lambda x: spmm(Ct, x)
+    dt = measure(jax.jit(lambda x: op(x).sum()), X, iters=30)
+    cost = spmm_cost(nnz, T * N, F)
+    return {
+        "mnnz_per_s": round(nnz / dt / 1e6, 1),
+        "roofline_frac": round(cost.roofline_fraction(dt), 3),
+    }
 
 
 def main() -> int:
+    import dataclasses
+
+    from tmgcn_tpu.configs.presets import get_preset
+
     cfg, data, splits = prepare()
+
+    # --- 1-layer headline ---
     ours_jnp, n_edges = bench_ours(cfg, data, splits, "jnp")
-    ours_pallas, _ = bench_ours(cfg, data, splits, "pallas")
-    ours_s = min(ours_jnp, ours_pallas)
-    print(
-        f"# xla-path {ours_jnp * 1e3:.2f} ms/epoch | pallas-path "
-        f"{ours_pallas * 1e3:.2f} ms/epoch",
-        file=sys.stderr,
-    )
+    ours_s = ours_jnp
+    print(f"# 1-layer {ours_jnp * 1e3:.2f} ms/epoch", file=sys.stderr)
     ref_s = bench_torch_reference(data, splits)
+
+    # --- 2-layer: per-epoch SpMM is real ---
+    cfg2 = get_preset("chess_tmgcn2_cls")
+    two = {}
+    for impl in ("jnp", "rowsplit", "pallas"):
+        try:
+            two[impl], _ = bench_ours(cfg2, data, splits, impl, n_timed=N_TIMED2)
+            print(f"# 2-layer [{impl}] {two[impl] * 1e3:.2f} ms/epoch", file=sys.stderr)
+        except Exception as e:
+            print(f"# 2-layer [{impl}] failed: {e}", file=sys.stderr)
+    ref2_s = bench_torch_reference2(data, splits)
+    best_impl = min(two, key=two.get)
+
+    # --- isolated SpMM roofline (layer-2 shape) ---
+    spmm_stats = {}
+    for impl in ("jnp", "rowsplit", "pallas"):
+        try:
+            spmm_stats[impl] = bench_spmm_isolated(data, impl)
+        except Exception as e:
+            print(f"# spmm [{impl}] failed: {e}", file=sys.stderr)
+
     edges_per_s = n_edges / ours_s
     ref_edges_per_s = n_edges / ref_s
+    extra = {
+        "two_layer_ms": {k: round(v * 1e3, 3) for k, v in two.items()},
+        "two_layer_best_impl": best_impl,
+        "two_layer_torch_ms": round(ref2_s * 1e3, 2),
+        "two_layer_vs_baseline": round(ref2_s / two[best_impl], 2),
+        "spmm_layer2_shape": spmm_stats,
+        "one_layer_ms": round(ours_s * 1e3, 3),
+        "one_layer_torch_ms": round(ref_s * 1e3, 2),
+    }
     print(
         json.dumps(
             {
@@ -189,12 +326,15 @@ def main() -> int:
                 "value": round(edges_per_s),
                 "unit": "edges/s",
                 "vs_baseline": round(edges_per_s / ref_edges_per_s, 3),
+                "extra": extra,
             }
         )
     )
     print(
         f"# ours: {ours_s * 1e3:.2f} ms/epoch | torch-cpu reference: "
-        f"{ref_s * 1e3:.2f} ms/epoch | {n_edges} train edges",
+        f"{ref_s * 1e3:.2f} ms/epoch | {n_edges} train edges | "
+        f"2-layer: {two[best_impl] * 1e3:.2f} ms ({best_impl}) vs torch "
+        f"{ref2_s * 1e3:.2f} ms",
         file=sys.stderr,
     )
     return 0

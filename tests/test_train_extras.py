@@ -154,3 +154,41 @@ class TestResume:
         ck.close()
         # Identical training losses after the resume point.
         np.testing.assert_allclose(resumed[4:, 3], full[4:, 3], rtol=1e-10)
+
+    def test_regression_resumes_from_checkpoint(self, tmp_path):
+        """run_regression continues from the latest checkpoint (the
+        reference never persists model state — SURVEY.md §5; this is the
+        analog of the cls/LP resume contract for the SEIR task)."""
+        import jax.numpy as jnp
+
+        from tmgcn_tpu.core.mmatrix import make_m_matrix
+        from tmgcn_tpu.core.sparse import TemporalCOO
+        from tmgcn_tpu.models.tmgcn import TMGCNReg
+        from tmgcn_tpu.tasks.adapters import make_regression_adapter
+        from tmgcn_tpu.train.loop import TrainConfig, run_regression
+
+        rng = np.random.default_rng(5)
+        T, N = 4, 30
+        dense = (rng.random((T, N, N)) < 0.1) * 1.0
+        A = TemporalCOO.from_dense(dense, dtype=jnp.float64, pad_multiple=16)
+        M = make_m_matrix(T, 2)
+        X = rng.standard_normal((T, N, 2))
+        targets = {w: rng.standard_normal((T, N)) for w in ("train", "val", "test")}
+        model = TMGCNReg(n_slices=T, in_feat=2, hidden_feat=(4, 2), dtype=jnp.float64)
+        adapter = make_regression_adapter(
+            model, {w: A for w in targets}, {w: X for w in targets}, M=M
+        )
+        key = jax.random.PRNGKey(11)
+
+        cfg8 = TrainConfig(n_epochs=8, eval_every=4, lr=1e-4)
+        full, _ = run_regression(adapter, targets, cfg8, key=key)
+
+        ck = RunCheckpointer(tmp_path / "reg_resume")
+        cfg4 = TrainConfig(n_epochs=4, eval_every=4, lr=1e-4)
+        run_regression(adapter, targets, cfg4, key=key, checkpointer=ck)
+        resumed, _ = run_regression(adapter, targets, cfg8, key=key, checkpointer=ck)
+        ck.close()
+        np.testing.assert_allclose(
+            resumed["train_loss"][4:], full["train_loss"][4:], rtol=1e-10
+        )
+        assert resumed["val_l1"] == pytest.approx(full["val_l1"], rel=1e-10)

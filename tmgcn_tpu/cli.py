@@ -47,6 +47,27 @@ def _cmd_preprocess(args) -> int:
     return 0
 
 
+def _cmd_synth(args) -> int:
+    from tmgcn_tpu.preprocess.synthetic_raw import SYNTH, generate
+
+    names = [args.dataset] if args.dataset else sorted(SYNTH)
+    for name in names:
+        path = generate(name, Path(args.out) / name, seed=args.seed)
+        print(f"{name}: {path}")
+    return 0
+
+
+def _parse_mesh(spec: str) -> tuple[int, int]:
+    """Parse 'graph=G,time=T' (either key optional, any order)."""
+    parts = dict(
+        kv.split("=", 1) for kv in spec.replace(" ", "").split(",") if kv
+    )
+    unknown = set(parts) - {"graph", "time"}
+    if unknown:
+        raise SystemExit(f"--mesh: unknown axes {sorted(unknown)}; use graph=G,time=T")
+    return int(parts.get("graph", 1)), int(parts.get("time", 1))
+
+
 def _cmd_run(args) -> int:
     import dataclasses
 
@@ -61,6 +82,7 @@ def _cmd_run(args) -> int:
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)
     alphas = tuple(args.alphas) if args.alphas else None
+    mesh_shape = _parse_mesh(args.mesh) if args.mesh else None
     t0 = time.time()
     out = run_experiment(
         cfg,
@@ -70,6 +92,7 @@ def _cmd_run(args) -> int:
         alpha_vec=alphas,
         verbose=not args.quiet,
         checkpoint_dir=args.checkpoint_dir,
+        mesh_shape=mesh_shape,
     )
     elapsed = time.time() - t0
     print(f"{cfg.name}: {len(out['results'])} runs in {elapsed:.1f}s")
@@ -109,6 +132,11 @@ def main(argv=None) -> int:
 
     sub.add_parser("list", help="list experiment presets")
 
+    sp = sub.add_parser("synth", help="generate synthetic raw dataset files")
+    sp.add_argument("--dataset", help="one dataset (default: all)")
+    sp.add_argument("--out", default="data/synthetic")
+    sp.add_argument("--seed", type=int, default=0)
+
     pp = sub.add_parser("preprocess", help="raw edge list -> .mat artifact")
     pp.add_argument("dataset")
     pp.add_argument("--data-dir", required=True)
@@ -122,6 +150,7 @@ def main(argv=None) -> int:
     rp.add_argument("--alphas", type=float, nargs="*")
     rp.add_argument("--out")
     rp.add_argument("--checkpoint-dir")
+    rp.add_argument("--mesh", help="sharded execution, e.g. graph=4,time=2")
     rp.add_argument("--seed", type=int)
     rp.add_argument("--debug-nans", action="store_true",
                     help="raise on the first NaN produced on device")
@@ -130,6 +159,8 @@ def main(argv=None) -> int:
     args = ap.parse_args(argv)
     if args.cmd == "list":
         return _cmd_list(args)
+    if args.cmd == "synth":
+        return _cmd_synth(args)
     if args.cmd == "preprocess":
         return _cmd_preprocess(args)
     if args.cmd == "run":

@@ -331,6 +331,28 @@ def build_model(cfg: ExperimentConfig, n_slices: int, in_feat: int):
     raise ValueError(f"unknown method {cfg.method!r}")
 
 
+def _make_adapter(cfg, model, data, splits_edges, mesh_shape, drop_last_slice=False):
+    """Single-device or sharded adapter, depending on mesh_shape."""
+    M = data.M if cfg.method == "tmgcn" else None
+    if mesh_shape is None:
+        return make_edge_adapter(
+            model, data.adj, data.feats, splits_edges, M=M,
+            drop_last_slice=drop_last_slice,
+        )
+    if cfg.method != "tmgcn":
+        raise NotImplementedError(
+            f"--mesh currently supports TM-GCN models, not {cfg.method!r}"
+        )
+    from tmgcn_tpu.parallel.adapter import make_sharded_edge_adapter
+    from tmgcn_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(*mesh_shape)
+    return make_sharded_edge_adapter(
+        model, data.adj, data.feats, splits_edges, data.M, mesh,
+        drop_last_slice=drop_last_slice,
+    )
+
+
 def run_experiment(
     cfg: ExperimentConfig,
     data_dir: str | Path | None = None,
@@ -339,8 +361,13 @@ def run_experiment(
     alpha_vec: tuple[float, ...] | None = None,
     verbose: bool = True,
     checkpoint_dir: str | Path | None = None,
+    mesh_shape: tuple[int, int] | None = None,
 ) -> dict:
     """Run the full (trials x alpha) sweep of one experiment config.
+
+    mesh_shape=(n_graph, n_time) runs training through the sharded
+    (graph x time) execution path (parallel/adapter.py) — TM-GCN
+    classification and link prediction.
 
     Returns {"results": {(trial, alpha): array}, "final": summary dict}.
     """
@@ -370,13 +397,18 @@ def run_experiment(
         return RunCheckpointer(Path(checkpoint_dir) / cfg.name / tag)
 
     if cfg.task == "regression":
+        if mesh_shape is not None:
+            raise NotImplementedError("--mesh supports edge_cls / link_pred tasks")
         model = build_model(cfg, data.spec.s_train, in_feat)
         adapter = make_regression_adapter(
             model, data.adj, data.feats, M=data.M if cfg.method != "gcn" else None
         )
         for tr in range(cfg.n_trials):
             key, sub = jax.random.split(key)
-            res, _ = run_regression(adapter, data.reg_targets, tcfg, key=sub)
+            res, _ = run_regression(
+                adapter, data.reg_targets, tcfg, key=sub,
+                checkpointer=_checkpointer(tr, None),
+            )
             results[(tr, None)] = res
         return {"results": results, "spec": data.spec}
 
@@ -385,12 +417,8 @@ def run_experiment(
             data.edge_index, data.edge_values, data.spec, n_classes=cfg.n_classes
         )
         model = build_model(cfg, data.spec.s_train, in_feat)
-        adapter = make_edge_adapter(
-            model,
-            data.adj,
-            data.feats,
-            {w: splits[w].edges for w in WINDOWS},
-            M=data.M if cfg.method == "tmgcn" else None,
+        adapter = _make_adapter(
+            cfg, model, data, {w: splits[w].edges for w in WINDOWS}, mesh_shape
         )
         for tr in range(cfg.n_trials):
             for alpha in alphas:
@@ -409,12 +437,8 @@ def run_experiment(
     # Link prediction.
     splits = split_data_link_prediction(data.lp_edges, data.lp_labels, data.spec)
     model = build_model(cfg, data.spec.s_train - 1, in_feat)
-    adapter = make_edge_adapter(
-        model,
-        data.adj,
-        data.feats,
-        {w: splits[w].model_edges for w in WINDOWS},
-        M=data.M if cfg.method == "tmgcn" else None,
+    adapter = _make_adapter(
+        cfg, model, data, {w: splits[w].model_edges for w in WINDOWS}, mesh_shape,
         drop_last_slice=True,
     )
     for tr in range(cfg.n_trials):

@@ -41,6 +41,25 @@ def _build_registry() -> dict[str, ExperimentConfig]:
                 same_block_size=(method == "tmgcn"),
             )
 
+    # 2-layer chess classification: the per-epoch-SpMM benchmark config
+    # ([6,6,3], selu — the reference's 2-layer settings, e.g.
+    # experiment_bitcoin_our_link_prediction.py's no_layers=2 branch,
+    # applied to the in-repo chess dataset).
+    registry["chess_tmgcn2_cls"] = ExperimentConfig(
+        name="chess_tmgcn2_cls",
+        dataset="chess",
+        method="tmgcn",
+        task="edge_cls",
+        n_layers=2,
+        hidden_feat=(6, 6, 3),
+        nonlin2="selu",
+        n_classes=3,
+        alpha_vec=(0.33,),
+        n_epochs=10_000,
+        cutoff=95,
+        same_block_size=True,
+    )
+
     for ds in LP_DATASETS:
         for method in METHODS:
             name = f"{ds}_{method}_lp"

@@ -61,6 +61,15 @@ def spmm(A: TemporalCOO, X: jax.Array, impl: str = "jnp") -> jax.Array:
         from tmgcn_tpu.kernels.spmm_pallas import spmm_pallas
 
         return spmm_pallas(A, X)
+    if impl == "rowsplit":
+        from tmgcn_tpu.ops.spmm_rowsplit import make_operator
+
+        if isinstance(A.rows, jax.core.Tracer):
+            raise ValueError(
+                "spmm(impl='rowsplit') needs host-side packing; build a "
+                "RowSplitSpmmOperator with make_operator(A) outside jit"
+            )
+        return make_operator(A)(X)
     if impl != "jnp":
         raise ValueError(f"unknown spmm impl: {impl!r}")
     # Flatten the (T, P) batch into one global gather + segment reduction:

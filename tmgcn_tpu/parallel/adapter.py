@@ -1,0 +1,311 @@
+"""Sharded ModelAdapter: multi-chip TM-GCN behind the standard loops.
+
+Builds a :class:`tmgcn_tpu.tasks.adapters.ModelAdapter` whose ``apply``
+runs the TM-GCN forward under ``shard_map`` over a (graph x time) mesh,
+so the *unmodified* training loops (train/loop.py — eval cadence,
+checkpointing, lax.scan epoch chunks) execute multi-chip. Green-field
+capability (the reference is single-process CPU — SURVEY.md §5
+"Distributed communication backend").
+
+Data movement per training step (the optimized layout):
+
+  * the parameter-independent layer-1 propagation AtXt = Ct ⊛ (M ×₁ X)
+    is computed ONCE at adapter build (banded multi-hop halo exchange
+    along ``time`` for the M-transform, row-local SpMM along ``graph``)
+    and cached SHARDED — (T, N, F0) split over (time, graph), exactly
+    the single-device cached-AtXt semantics including the reference's
+    f32 buffer truncation.
+  * a step's forward reads the cached shard, applies W (and for 2-layer:
+    nonlin -> all-gather rows along ``graph`` -> layer-2 local SpMM ->
+    W2), then the **partitioned edge readout**: labeled edges are
+    bucketed by time shard host-side; each shard computes the readout
+    contribution of the endpoint rows it owns and one ``psum`` over
+    ``graph`` assembles per-edge logits — no shard ever materializes the
+    full (T, N, F) embedding tensor (the v1 all-gather readout's
+    scaling cap). An all-gather along ``time`` of the per-bucket (Eb, C)
+    logits plus a precomputed inverse permutation restores the original
+    edge order, so losses/metrics match the single-device path bit-for-
+    layout.
+
+Traffic per step: psum (Eb, C) over graph + all-gather (Eb, C) over
+time + (2-layer only) all-gather (T_loc, N, F1) over graph — vs the v1
+path's all-gather of (T, N, F1) over graph AND time plus full-E
+replicated scoring.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from tmgcn_tpu.core.mmatrix import band_offsets
+from tmgcn_tpu.core.sparse import TemporalCOO
+from tmgcn_tpu.models.common import nonlinearity
+from tmgcn_tpu.models.tmgcn import TMGCN, TMGCN2
+from tmgcn_tpu.parallel.halo import banded_m_transform_local, local_banded_m
+from tmgcn_tpu.parallel.mesh import GRAPH_AXIS, TIME_AXIS
+from tmgcn_tpu.parallel.partition import partition_rows, pad_time
+from tmgcn_tpu.tasks.adapters import ModelAdapter
+
+WINDOWS = ("train", "val", "test")
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _local_spmm(rows, cols, vals, x_full, n_local_rows):
+    gathered = x_full[cols] * vals[:, None].astype(x_full.dtype)
+    return jax.ops.segment_sum(
+        gathered, rows, num_segments=n_local_rows, indices_are_sorted=True
+    )
+
+
+def bucket_edges_by_time(
+    edges: np.ndarray, T_pad: int, n_time: int, pad_multiple: int = 128
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Bucket (3, E) edges by time shard; local slice ids.
+
+    Returns (edges_b (n_time, 3, Eb), mask (n_time, Eb), pos (E,)) where
+    ``pos[e]`` is edge e's index in the bucket-concatenated order —
+    ``stacked.reshape(n_time * Eb, C)[pos]`` restores original order.
+    """
+    edges = np.asarray(edges)
+    E = edges.shape[1]
+    t_loc = T_pad // n_time
+    shard_of = edges[0] // t_loc
+    counts = [int(np.sum(shard_of == i)) for i in range(n_time)]
+    Eb = _round_up(max(1, max(counts)), pad_multiple)
+    edges_b = np.zeros((n_time, 3, Eb), np.int32)
+    mask = np.zeros((n_time, Eb), bool)
+    pos = np.zeros(E, np.int64)
+    for i in range(n_time):
+        m = shard_of == i
+        k = int(m.sum())
+        e = edges[:, m].copy()
+        e[0] -= i * t_loc
+        edges_b[i, :, :k] = e
+        mask[i, :k] = True
+        pos[np.nonzero(m)[0]] = i * Eb + np.arange(k)
+    return edges_b, mask, pos
+
+
+@dataclasses.dataclass(frozen=True)
+class _ShardCfg:
+    n_graph: int
+    n_time: int
+    n_local_rows: int
+    halo: int
+    n_layers: int
+    nonlin2: str
+    dtype: object
+
+
+def _make_propagate(mesh: Mesh, sc: _ShardCfg):
+    """shard_map'd AtXt = Ct ⊛ (M ×₁ X): run once, cache sharded."""
+
+    def local(rows, cols, vals, X_loc, m_block):
+        rows, cols, vals = rows[:, 0], cols[:, 0], vals[:, 0]
+        m_block = m_block[0]
+        Xt_loc = banded_m_transform_local(X_loc, m_block, sc.halo)
+        return jax.vmap(
+            lambda r, c, v, x: _local_spmm(r, c, v, x, sc.n_local_rows)
+        )(rows, cols, vals, Xt_loc)
+
+    spec_A = P(TIME_AXIS, GRAPH_AXIS, None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            spec_A, spec_A, spec_A,
+            P(TIME_AXIS, None, None),  # X
+            P(TIME_AXIS, None, None),  # m_blocks
+        ),
+        out_specs=P(TIME_AXIS, GRAPH_AXIS, None),
+        check_vma=False,
+    )
+
+
+def _readout_partitioned(flat, edges_b, mask, U, n_local_rows, t_axis_width):
+    """Owner-computes split-U readout on this shard's row block.
+
+    flat: (T_loc * N_loc, F) this shard's embedding rows.
+    edges_b: (3, Eb) this time shard's edges, local slice ids.
+    Returns (Eb, C) logits, summed over the graph axis.
+    """
+    F = flat.shape[-1]
+    g_idx = jax.lax.axis_index(GRAPH_AXIS)
+    n0 = g_idx * n_local_rows
+
+    def side(nodes, Upart):
+        own = mask & (nodes >= n0) & (nodes < n0 + n_local_rows)
+        idx = jnp.where(own, edges_b[0] * n_local_rows + (nodes - n0), 0)
+        rows = jnp.where(own[:, None], flat[idx], jnp.zeros((), flat.dtype))
+        return rows @ Upart
+
+    part = side(edges_b[1], U[:F]) + side(edges_b[2], U[F:])
+    return jax.lax.psum(part, GRAPH_AXIS)
+
+
+def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
+    """shard_map'd per-step forward: cached AtXt shard -> bucket logits."""
+
+    def local(params, H_loc, rows, cols, vals, edges_b, mask):
+        rows, cols, vals = rows[:, 0], cols[:, 0], vals[:, 0]
+        edges_b, mask = edges_b[0], mask[0]
+        dtype = sc.dtype
+        H = H_loc.astype(dtype)  # reference f32 buffer truncation
+        U = params["U"].astype(dtype)
+        if sc.n_layers == 1:
+            Y_loc = jnp.matmul(H, params["W"].astype(dtype))
+        else:
+            Y = nonlinearity(sc.nonlin2)(jnp.matmul(H, params["W1"].astype(dtype)))
+            # Layer-2 SpMM gathers full-graph rows of this shard's
+            # slices: one all-gather along graph (F1-wide — small).
+            Y_rows = jax.lax.all_gather(Y, GRAPH_AXIS, axis=1, tiled=True)
+            Z = jax.vmap(
+                lambda r, c, v, x: _local_spmm(r, c, v, x, sc.n_local_rows)
+            )(rows, cols, vals, Y_rows)
+            Y_loc = jnp.matmul(Z.astype(dtype), params["W2"].astype(dtype))
+        T_loc, N_loc, F = Y_loc.shape
+        flat = Y_loc.reshape(T_loc * N_loc, F)
+        return _readout_partitioned(flat, edges_b, mask, U, sc.n_local_rows, T_loc)[
+            None
+        ]
+
+    spec_A = P(TIME_AXIS, GRAPH_AXIS, None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),  # params (replicated)
+            P(TIME_AXIS, GRAPH_AXIS, None),  # cached AtXt
+            spec_A, spec_A, spec_A,
+            P(TIME_AXIS, None, None),  # edge buckets
+            P(TIME_AXIS, None),  # bucket mask
+        ),
+        out_specs=P(TIME_AXIS, None, None),
+        check_vma=False,
+    )
+
+
+def make_sharded_edge_adapter(
+    model,
+    adj: dict[str, TemporalCOO],
+    feats: dict[str, np.ndarray],
+    edges: dict[str, np.ndarray],
+    M: np.ndarray,
+    mesh: Mesh,
+    drop_last_slice: bool = False,
+) -> ModelAdapter:
+    """Sharded drop-in for tasks.adapters.make_edge_adapter (TM-GCN).
+
+    Supports TMGCN and TMGCN2 (condensed_W, use_Minv=False, default
+    second-layer path — the configurations every reference driver uses).
+    """
+    if isinstance(model, TMGCN2):
+        if model.use_Minv or model.apply_M_twice or not model.condensed_W:
+            raise NotImplementedError(
+                "sharded TMGCN2 supports the default path "
+                "(condensed_W, no Minv/apply_M_twice)"
+            )
+        n_layers = 2
+        nonlin2 = model.nonlin2
+    elif isinstance(model, TMGCN):
+        if model.use_Minv or not model.condensed_W:
+            raise NotImplementedError(
+                "sharded TMGCN supports condensed_W without Minv"
+            )
+        n_layers = 1
+        nonlin2 = "relu"
+    else:
+        raise TypeError(f"unsupported sharded model: {type(model).__name__}")
+
+    n_graph = mesh.shape[GRAPH_AXIS]
+    n_time = mesh.shape[TIME_AXIS]
+    M = np.asarray(M)
+    halo = band_offsets(M)[0]
+
+    bundles = {}
+    for w in WINDOWS:
+        A, X = adj[w], np.asarray(feats[w])
+        Mw = M
+        if drop_last_slice:
+            A = A.slice_window(0, A.n_slices - 1)
+            X = X[:-1]
+            Mw = Mw[:-1, :-1]
+        T = A.n_slices
+        T_pad = _round_up(T, n_time)
+        if T_pad != T:
+            X = np.concatenate(
+                [X, np.zeros((T_pad - T,) + X.shape[1:], X.dtype)], axis=0
+            )
+            M_full = np.zeros((T_pad, T_pad), Mw.dtype)
+            M_full[:T, :T] = Mw
+            Mw = M_full
+        A_sh = pad_time(partition_rows(A, n_graph), n_time)
+        m_blocks = local_banded_m(Mw, n_time, halo)
+        e_b, e_mask, e_pos = bucket_edges_by_time(edges[w], T_pad, n_time)
+
+        dt = jnp.result_type(float)
+        put = jax.device_put
+        spec_A = NamedSharding(mesh, P(TIME_AXIS, GRAPH_AXIS, None))
+        spec_T = NamedSharding(mesh, P(TIME_AXIS, None, None))
+        bundles[w] = {
+            "rows": put(jnp.asarray(A_sh.rows), spec_A),
+            "cols": put(jnp.asarray(A_sh.cols), spec_A),
+            "vals": put(jnp.asarray(A_sh.vals, dt), spec_A),
+            "X": put(jnp.asarray(X, dt), spec_T),
+            "m_blocks": put(jnp.asarray(m_blocks, dt), spec_T),
+            "edges_b": put(jnp.asarray(e_b), spec_T),
+            "mask": put(jnp.asarray(e_mask), NamedSharding(mesh, P(TIME_AXIS, None))),
+            "pos": put(jnp.asarray(e_pos), NamedSharding(mesh, P())),
+            "n_edges": int(np.asarray(edges[w]).shape[1]),
+        }
+
+    sc = _ShardCfg(
+        n_graph=n_graph,
+        n_time=n_time,
+        n_local_rows=partition_rows(adj["train"], n_graph).n_local_rows,
+        halo=halo,
+        n_layers=n_layers,
+        nonlin2=nonlin2,
+        dtype=model.dtype,
+    )
+    propagate = _make_propagate(mesh, sc)
+    step_forward = _make_step_forward(mesh, sc)
+
+    # Cache the parameter-independent layer-1 propagation, sharded
+    # (the single-device adapters do the same — the reference caches
+    # AtXt at model init, embedding_help_functions.py:195).
+    jit_prop = jax.jit(propagate)
+    for b in bundles.values():
+        b["cached"] = jit_prop(
+            b["rows"], b["cols"], b["vals"], b["X"], b["m_blocks"]
+        )
+
+    def apply(variables, bundle, carry):
+        stacked = step_forward(
+            variables["params"],
+            bundle["cached"],
+            bundle["rows"],
+            bundle["cols"],
+            bundle["vals"],
+            bundle["edges_b"],
+            bundle["mask"],
+        )
+        C = stacked.shape[-1]
+        flat = stacked.reshape(-1, C)
+        return flat[bundle["pos"]], carry
+
+    def init(key):
+        variables = model.init(key)
+        repl = NamedSharding(mesh, P())
+        return jax.device_put(variables, repl)
+
+    return ModelAdapter(init, apply, bundles, lambda variables: ())

@@ -19,19 +19,32 @@ from tmgcn_tpu.parallel.mesh import TIME_AXIS
 
 
 def halo_exchange_backward(x_loc: jax.Array, halo: int, axis_name: str = TIME_AXIS):
-    """Receive the previous time-shard's last ``halo`` slices.
+    """Receive the previous ``halo`` time slices from predecessor shards.
 
-    Returns (halo, ...) slices; the first shard receives zeros (there is
-    no slice before t=0 — banded causal M has no wraparound).
+    Returns (halo, ...) slices ordered oldest-first. When the halo spans
+    more than one shard window (band-1 > T_loc — e.g. the canonical
+    band-20/T=80 config at 8-way time sharding), the exchange runs one
+    ``ppermute`` per predecessor hop: hop j moves the tail of shard i to
+    shard i+j. Shards with fewer than j predecessors receive zeros
+    (banded causal M has no wraparound — nothing precedes t=0).
     """
     if halo <= 0:
         return x_loc[:0]  # diagonal M: no neighbor slices needed
+    T_loc = x_loc.shape[0]
     n = jax.lax.axis_size(axis_name)
     idx = jax.lax.axis_index(axis_name)
-    send = x_loc[-halo:]
-    # Ring shift forward: shard i sends to i+1.
-    recv = jax.lax.ppermute(send, axis_name, perm=[(i, (i + 1) % n) for i in range(n)])
-    return jnp.where(idx == 0, jnp.zeros_like(recv), recv)
+    n_hops = -(-halo // T_loc)  # ceil
+    parts = []
+    for j in range(n_hops, 0, -1):
+        # Hop j supplies the slice range [t0 - j*T_loc, t0 - (j-1)*T_loc)
+        # clipped to the halo: the sender's tail of width w.
+        w = min(T_loc, halo - (j - 1) * T_loc)
+        send = x_loc[-w:]
+        recv = jax.lax.ppermute(
+            send, axis_name, perm=[(i, (i + j) % n) for i in range(n)]
+        )
+        parts.append(jnp.where(idx < j, jnp.zeros_like(recv), recv))
+    return jnp.concatenate(parts, axis=0) if len(parts) > 1 else parts[0]
 
 
 def local_banded_m(M: np.ndarray, n_time: int, halo: int) -> np.ndarray:
@@ -46,10 +59,8 @@ def local_banded_m(M: np.ndarray, n_time: int, halo: int) -> np.ndarray:
     if T % n_time:
         raise ValueError(f"T={T} not divisible by n_time={n_time}")
     T_loc = T // n_time
-    if halo > T_loc:
-        raise ValueError(
-            f"band-1={halo} exceeds local window {T_loc}; use fewer time shards"
-        )
+    # halo > T_loc is fine: halo_exchange_backward runs one ppermute hop
+    # per predecessor shard window the band reaches into.
     M_pad = np.concatenate([np.zeros((T, halo)), M], axis=1)  # (T, halo + T)
     blocks = np.zeros((n_time, T_loc, T_loc + halo))
     for i in range(n_time):

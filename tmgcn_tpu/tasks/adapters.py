@@ -85,13 +85,16 @@ class ModelAdapter:
         return self.apply(variables, self.bundles[window], carry)
 
 
+OPERATOR_IMPLS = ("pallas", "rowsplit")
+
+
 def _prepare_bundles(
     adj: dict[str, TemporalCOO],
     feats: dict[str, Any],
     edges: dict[str, np.ndarray] | None,
     M: np.ndarray | None,
     drop_last_slice: bool,
-    pallas_spmm: bool = False,
+    spmm_operator: str | None = None,
 ) -> dict[str, dict]:
     bundles = {}
     for w in WINDOWS:
@@ -99,19 +102,21 @@ def _prepare_bundles(
         if drop_last_slice:
             A = A.slice_window(0, A.n_slices - 1)
             X = X[:-1]
-        if pallas_spmm:
+        n_slices, n_nodes = A.n_slices, A.n_nodes
+        if spmm_operator == "pallas":
             # Prepack the TPU kernel's scatter plan once, host-side.
             from tmgcn_tpu.kernels.spmm_pallas import make_operator
 
-            n_slices, n_nodes = A.n_slices, A.n_nodes
             A = make_operator(A)
-        else:
-            n_slices, n_nodes = A.n_slices, A.n_nodes
+        elif spmm_operator == "rowsplit":
+            from tmgcn_tpu.ops.spmm_rowsplit import make_operator
+
+            A = make_operator(A)
         bundle = {"adj": A, "X": jnp.asarray(X)}
         if edges is not None:
             bundle["edges"] = jnp.asarray(np.asarray(edges[w]), dtype=jnp.int32)
-            if pallas_spmm:
-                # Fast readout backward through the same windowed kernel.
+            if spmm_operator is not None:
+                # Fast readout backward through the windowed kernel.
                 from tmgcn_tpu.ops.edge_readout import make_readout_plan
 
                 bundle["readout"] = make_readout_plan(
@@ -146,10 +151,14 @@ def make_edge_adapter(
         drop_last_slice: link-prediction convention — the model consumes
             slices [0, T-1) and M[:-1, :-1].
     """
-    pallas_spmm = getattr(model, "spmm_impl", "jnp") == "pallas" and isinstance(
-        model, (TMGCN, TMGCN2, KWGCN, WDGCN)
+    impl = getattr(model, "spmm_impl", "jnp")
+    spmm_operator = (
+        impl
+        if impl in OPERATOR_IMPLS
+        and isinstance(model, (TMGCN, TMGCN2, KWGCN, WDGCN))
+        else None
     )
-    bundles = _prepare_bundles(adj, feats, edges, M, drop_last_slice, pallas_spmm)
+    bundles = _prepare_bundles(adj, feats, edges, M, drop_last_slice, spmm_operator)
 
     if isinstance(model, (TMGCN, TMGCN2)):
         # Cache the parameter-independent first-layer propagation, as the
@@ -254,11 +263,14 @@ def make_regression_adapter(
 ) -> ModelAdapter:
     """Adapter for (T, N) regression models (SEIR task)."""
     needs_m = isinstance(model, TMGCNReg)
-    pallas_spmm = getattr(model, "spmm_impl", "jnp") == "pallas" and isinstance(
-        model, (TMGCNReg, WDGCNReg)
+    impl = getattr(model, "spmm_impl", "jnp")
+    spmm_operator = (
+        impl
+        if impl in OPERATOR_IMPLS and isinstance(model, (TMGCNReg, WDGCNReg))
+        else None
     )
     bundles = _prepare_bundles(
-        adj, feats, None, M if needs_m else None, False, pallas_spmm
+        adj, feats, None, M if needs_m else None, False, spmm_operator
     )
 
     if isinstance(model, TMGCNReg):

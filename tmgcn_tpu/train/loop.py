@@ -328,11 +328,14 @@ def run_regression(
     cfg: TrainConfig,
     key: jax.Array | None = None,
     variables: dict | None = None,
+    checkpointer=None,
 ) -> tuple[dict, dict]:
     """Train a node regressor; returns (result dict, variables).
 
     Result: per-epoch training losses plus final val/test L1 and
-    L1-ratio, matching the SEIR protocol.
+    L1-ratio, matching the SEIR protocol. With a checkpointer, state is
+    saved after each chunk of epochs and training resumes from the
+    latest checkpoint (same contract as the cls/LP loops).
     """
     if variables is None:
         variables = adapter.init(key if key is not None else jax.random.PRNGKey(0))
@@ -368,6 +371,13 @@ def run_regression(
     losses = np.zeros(cfg.n_epochs)
     chunk = max(1, cfg.eval_every)
     ep = 0
+    if checkpointer is not None and checkpointer.latest_epoch() is not None:
+        step, restored = checkpointer.restore(
+            {"params": params, "opt_state": opt_state, "results": losses}
+        )
+        params, opt_state = restored["params"], restored["opt_state"]
+        losses[: step + 1] = restored["results"][: step + 1]
+        ep = step + 1
     while ep < cfg.n_epochs:
         k = min(chunk, cfg.n_epochs - ep)
         params, opt_state, ls = chunk_step(
@@ -377,6 +387,8 @@ def run_regression(
         if cfg.verbose:
             print(f"ep {ep + k - 1}: train mse {losses[ep + k - 1]:.5f}")
         ep += k
+        if checkpointer is not None:
+            checkpointer.save(ep - 1, params, opt_state, losses)
 
     result = {"train_loss": losses}
     for wname in ("val", "test"):
