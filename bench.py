@@ -36,7 +36,8 @@ import numpy as np
 warnings.filterwarnings("ignore", message=".*[Ss]parse.*")
 
 N_TIMED = 400
-N_TIMED2 = 100
+N_TIMED2 = 50
+N_TIMED2_SLOW = 8  # full-row jnp path is ~0.4 s/epoch; keep the budget sane
 N_WARMUP = 3
 N_TORCH = 10
 
@@ -168,6 +169,80 @@ def _torch_best_of_rounds(epoch_fn, rounds=3, iters=N_TORCH):
     return best
 
 
+def bench_ours2_full(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED2):
+    """2-layer epoch via the GENERIC path: full-row layer-2 SpMM + edge
+    readout every epoch (the reference's own computation shape), with
+    the SpMM through the chosen implementation. The adapter path
+    (bench_ours) instead restricts layer 2 to readout-visible rows."""
+    import dataclasses
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tmgcn_tpu.configs.build import build_model
+    from tmgcn_tpu.train.losses import weighted_cross_entropy
+
+    cfg = dataclasses.replace(cfg, spmm_impl="jnp")
+    model = build_model(cfg, data.spec.s_train, data.feats["train"].shape[-1])
+    A = data.adj["train"]
+    if spmm_impl == "rowsplit":
+        from tmgcn_tpu.ops.spmm_rowsplit import make_operator
+
+        A_op = make_operator(A, k=4)
+    elif spmm_impl == "pallas":
+        from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+        A_op = make_operator(A, chunk=512, window=256)
+    else:
+        A_op = A
+    A_op = jax.device_put(A_op)
+    X = jnp.asarray(np.asarray(data.feats["train"], np.float32))
+    M = jnp.asarray(np.asarray(data.M), X.dtype)
+    edges = jnp.asarray(splits["train"].edges, jnp.int32)
+    tgt = jnp.asarray(splits["train"].target)
+    cw = jnp.asarray(np.array([1 / 3, 1 / 3, 1 / 3], dtype=np.float32))
+
+    variables = model.init(jax.random.PRNGKey(0))
+    params = variables["params"]
+    cached = jax.jit(lambda a, x, m: model.propagate(a, x, m))(A_op, X, M)
+    opt = optax.sgd(cfg.lr, momentum=cfg.momentum)
+    opt_state = opt.init(params)
+
+    @partial(jax.jit, static_argnames="n_steps")
+    def train_chunk(params, opt_state, A_op, X, M, edges, cached, tgt, n_steps):
+        def body(carry, _):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                out = model.apply(
+                    {"params": p, "buffers": {}}, A_op, X, edges, M, AtXt=cached
+                )
+                return weighted_cross_entropy(out, tgt, cw), out
+
+            (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            guess = jnp.argmax(out, axis=1)
+            tp = jnp.sum((guess == 0) & (tgt == 0))
+            fp = jnp.sum((guess == 0) & (tgt != 0))
+            fn = jnp.sum((guess != 0) & (tgt == 0))
+            return (optax.apply_updates(params, updates), opt_state), (loss, tp, fp, fn)
+
+        (params, opt_state), aux = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        return params, opt_state, aux
+
+    args = (A_op, X, M, edges, cached, tgt)
+    params, opt_state, aux = train_chunk(params, opt_state, *args, n_timed)
+    jax.block_until_ready(aux)
+    t0 = time.perf_counter()
+    params, opt_state, aux = train_chunk(params, opt_state, *args, n_timed)
+    _ = np.asarray(aux[0]), np.asarray(aux[1])
+    return (time.perf_counter() - t0) / n_timed
+
+
 def bench_torch_reference(data, splits) -> float:
     """Reference-equivalent 1-layer training epoch in PyTorch on CPU.
 
@@ -267,7 +342,7 @@ def bench_spmm_isolated(data, impl: str) -> dict:
         from tmgcn_tpu.ops.spmm import spmm
 
         op = lambda x: spmm(Ct, x)
-    dt = measure(jax.jit(lambda x: op(x).sum()), X, iters=30)
+    dt = measure(jax.jit(lambda x: op(x).sum()), X, iters=15)
     cost = spmm_cost(nnz, T * N, F)
     return {
         "mnnz_per_s": round(nnz / dt / 1e6, 1),
@@ -276,45 +351,48 @@ def bench_spmm_isolated(data, impl: str) -> dict:
 
 
 def main() -> int:
-    import dataclasses
-
     from tmgcn_tpu.configs.presets import get_preset
 
+    t_start = time.perf_counter()
+
+    def stage(msg):
+        print(f"# [{time.perf_counter() - t_start:6.1f}s] {msg}", file=sys.stderr)
+
     cfg, data, splits = prepare()
+    stage("data ready")
 
     # --- 1-layer headline ---
     ours_jnp, n_edges = bench_ours(cfg, data, splits, "jnp")
     ours_s = ours_jnp
-    print(f"# 1-layer {ours_jnp * 1e3:.2f} ms/epoch", file=sys.stderr)
+    stage(f"1-layer {ours_jnp * 1e3:.2f} ms/epoch")
     ref_s = bench_torch_reference(data, splits)
+    stage(f"1-layer torch {ref_s * 1e3:.2f} ms/epoch")
 
-    # --- 2-layer: per-epoch SpMM is real ---
+    # --- 2-layer: the per-epoch layer-2 SpMM is real. The adapter
+    # restricts it to readout-visible rows (~14% of nnz on chess); the
+    # full-row generic path is measured by tools/bench_full2.py (its
+    # jnp variant alone is ~0.4 s/epoch — too slow for this budget). ---
     cfg2 = get_preset("chess_tmgcn2_cls")
-    two = {}
-    for impl in ("jnp", "rowsplit", "pallas"):
-        try:
-            two[impl], _ = bench_ours(cfg2, data, splits, impl, n_timed=N_TIMED2)
-            print(f"# 2-layer [{impl}] {two[impl] * 1e3:.2f} ms/epoch", file=sys.stderr)
-        except Exception as e:
-            print(f"# 2-layer [{impl}] failed: {e}", file=sys.stderr)
+    two_s, _ = bench_ours(cfg2, data, splits, "jnp", n_timed=N_TIMED2)
+    stage(f"2-layer [restricted] {two_s * 1e3:.2f} ms/epoch")
     ref2_s = bench_torch_reference2(data, splits)
-    best_impl = min(two, key=two.get)
+    stage(f"2-layer torch {ref2_s * 1e3:.2f} ms/epoch")
 
     # --- isolated SpMM roofline (layer-2 shape) ---
     spmm_stats = {}
     for impl in ("jnp", "rowsplit", "pallas"):
         try:
             spmm_stats[impl] = bench_spmm_isolated(data, impl)
+            stage(f"spmm [{impl}] {spmm_stats[impl]}")
         except Exception as e:
             print(f"# spmm [{impl}] failed: {e}", file=sys.stderr)
 
     edges_per_s = n_edges / ours_s
     ref_edges_per_s = n_edges / ref_s
     extra = {
-        "two_layer_ms": {k: round(v * 1e3, 3) for k, v in two.items()},
-        "two_layer_best_impl": best_impl,
+        "two_layer_ms": round(two_s * 1e3, 3),
         "two_layer_torch_ms": round(ref2_s * 1e3, 2),
-        "two_layer_vs_baseline": round(ref2_s / two[best_impl], 2),
+        "two_layer_vs_baseline": round(ref2_s / two_s, 2),
         "spmm_layer2_shape": spmm_stats,
         "one_layer_ms": round(ours_s * 1e3, 3),
         "one_layer_torch_ms": round(ref_s * 1e3, 2),
@@ -333,7 +411,7 @@ def main() -> int:
     print(
         f"# ours: {ours_s * 1e3:.2f} ms/epoch | torch-cpu reference: "
         f"{ref_s * 1e3:.2f} ms/epoch | {n_edges} train edges | "
-        f"2-layer: {two[best_impl] * 1e3:.2f} ms ({best_impl}) vs torch "
+        f"2-layer: {two_s * 1e3:.2f} ms (restricted) vs torch "
         f"{ref2_s * 1e3:.2f} ms",
         file=sys.stderr,
     )

@@ -94,6 +94,71 @@ class TestOperator:
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
 
+class TestFlatOperator:
+    def test_rectangular_matches_dense(self):
+        rng = np.random.default_rng(3)
+        n_in, n_out, nnz, F = 60, 25, 200, 5
+        r = rng.integers(0, n_out, nnz)
+        c = rng.integers(0, n_in, nnz)
+        v = rng.standard_normal(nnz).astype(np.float32)
+        from tmgcn_tpu.ops.spmm_rowsplit import make_flat_operator
+
+        op = make_flat_operator(r, c, v, n_in=n_in, n_out=n_out, k=4)
+        X = jnp.asarray(rng.standard_normal((n_in, F)), jnp.float32)
+        dense = np.zeros((n_out, n_in), np.float32)
+        np.add.at(dense, (r, c), v)
+        np.testing.assert_allclose(
+            np.asarray(op(X)), dense @ np.asarray(X), atol=1e-5
+        )
+        # Backward: dX = Aᵀ dY.
+        G = jnp.asarray(rng.standard_normal((n_out, F)), jnp.float32)
+        dX = jax.grad(lambda x: jnp.vdot(op(x), G))(X)
+        np.testing.assert_allclose(
+            np.asarray(dX), dense.T @ np.asarray(G), atol=1e-5
+        )
+
+
+class TestRestrictedLayer2:
+    def test_fast_path_matches_generic_model(self, setup):
+        """The readout-restricted TMGCN2 adapter equals model.apply."""
+        from tmgcn_tpu.core.mmatrix import make_m_matrix
+        from tmgcn_tpu.models.tmgcn import TMGCN2
+        from tmgcn_tpu.tasks.adapters import make_edge_adapter
+
+        A, X, _ = setup
+        A = A.astype(jnp.float64)
+        X = np.asarray(X, np.float64)
+        T, N = A.n_slices, A.n_nodes
+        rng = np.random.default_rng(4)
+        M = make_m_matrix(T, 2)
+        edges = np.stack(
+            [rng.integers(0, T, 70), rng.integers(0, N, 70), rng.integers(0, N, 70)]
+        )
+        model = TMGCN2(
+            n_slices=T, in_feat=X.shape[-1], hidden_feat=(5, 4, 2), nonlin2="selu",
+            dtype=jnp.float64,
+        )
+        adapter = make_edge_adapter(
+            model,
+            {w: A for w in ("train", "val", "test")},
+            {w: np.asarray(X) for w in ("train", "val", "test")},
+            {w: edges for w in ("train", "val", "test")},
+            M=M,
+        )
+        variables = adapter.init(jax.random.PRNGKey(1))
+        fast, _ = adapter.apply(variables, adapter.bundles["train"], ())
+        generic = model.apply(
+            variables,
+            A,
+            jnp.asarray(X, jnp.float64),
+            jnp.asarray(edges),
+            jnp.asarray(M, jnp.float64),
+        )
+        np.testing.assert_allclose(
+            np.asarray(fast), np.asarray(generic), atol=1e-12
+        )
+
+
 class TestModelIntegration:
     def test_tmgcn2_rowsplit_matches_jnp(self, setup):
         """TMGCN2 with spmm_impl='rowsplit' reproduces the jnp path."""

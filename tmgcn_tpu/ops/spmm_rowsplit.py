@@ -70,16 +70,13 @@ class RowSplitPlan:
         return self.seg_rows.shape[0]
 
 
-def pack_rowsplit(
-    A: TemporalCOO, k: int = DEFAULT_K, pad_multiple: int = 8
-) -> RowSplitPlan:
-    """Cut A's row-sorted global nonzero stream into K-entry segments."""
+def flatten_stream(A: TemporalCOO) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """A's true nonzeros as row-sorted global (t*N + r, t*N + c, v)."""
     rows_np = np.asarray(A.rows)
     cols_np = np.asarray(A.cols)
     vals_np = np.asarray(A.vals)
     nnz_np = np.asarray(A.nnz)
     T, N = A.n_slices, A.n_nodes
-
     parts_r, parts_c, parts_v = [], [], []
     for t in range(T):
         n = int(nnz_np[t])
@@ -89,15 +86,26 @@ def pack_rowsplit(
     g_rows = np.concatenate(parts_r) if parts_r else np.zeros(0, np.int64)
     g_cols = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
     g_vals = np.concatenate(parts_v) if parts_v else np.zeros(0, vals_np.dtype)
+    return g_rows, g_cols, g_vals
 
+
+def pack_rowsplit_stream(
+    g_rows: np.ndarray,
+    g_cols: np.ndarray,
+    g_vals: np.ndarray,
+    n_rows_out: int,
+    k: int = DEFAULT_K,
+    pad_multiple: int = 8,
+) -> RowSplitPlan:
+    """Cut a ROW-SORTED flat nonzero stream into K-entry segments."""
     P = len(g_rows)
     if P == 0:
         S = pad_multiple
         return RowSplitPlan(
             seg_rows=jnp.zeros(S, jnp.int32),
             cols=jnp.zeros((S, k), jnp.int32),
-            vals=jnp.zeros((S, k), vals_np.dtype),
-            n_rows_out=T * N,
+            vals=jnp.zeros((S, k), g_vals.dtype),
+            n_rows_out=n_rows_out,
             k=k,
         )
 
@@ -113,7 +121,7 @@ def pack_rowsplit(
     S_pad = _round_up(S, pad_multiple)
 
     cols_pad = np.zeros((S_pad, k), np.int32)
-    vals_pad = np.zeros((S_pad, k), vals_np.dtype)
+    vals_pad = np.zeros((S_pad, k), g_vals.dtype)
     seg_rows = np.zeros(S_pad, np.int32)
     cols_pad[seg_id, within] = g_cols
     vals_pad[seg_id, within] = g_vals
@@ -122,8 +130,18 @@ def pack_rowsplit(
         seg_rows=jnp.asarray(seg_rows),
         cols=jnp.asarray(cols_pad),
         vals=jnp.asarray(vals_pad),
-        n_rows_out=T * N,
+        n_rows_out=n_rows_out,
         k=k,
+    )
+
+
+def pack_rowsplit(
+    A: TemporalCOO, k: int = DEFAULT_K, pad_multiple: int = 8
+) -> RowSplitPlan:
+    """Cut A's row-sorted global nonzero stream into K-entry segments."""
+    g_rows, g_cols, g_vals = flatten_stream(A)
+    return pack_rowsplit_stream(
+        g_rows, g_cols, g_vals, A.n_slices * A.n_nodes, k, pad_multiple
     )
 
 
@@ -204,3 +222,70 @@ def make_operator(A: TemporalCOO, k: int = DEFAULT_K) -> RowSplitSpmmOperator:
         plan=pack_rowsplit(A, k),
         plan_t=pack_rowsplit(A.transpose(), k),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rectangular (flat) operator: arbitrary (n_out x n_in) sparse matrix over
+# flattened index spaces. Used for readout-restricted propagation, where
+# only the output rows a later gather actually reads are computed.
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _flat_spmm(n_in, n_out, plan, plan_t, X_flat):
+    return _apply_plan(plan, X_flat)
+
+
+def _flat_spmm_fwd(n_in, n_out, plan, plan_t, X_flat):
+    return _apply_plan(plan, X_flat), (plan, plan_t)
+
+
+def _flat_spmm_bwd(n_in, n_out, res, dY):
+    plan, plan_t = res
+    return _zero_cot(plan), _zero_cot(plan_t), _apply_plan(plan_t, dY)
+
+
+_flat_spmm.defvjp(_flat_spmm_fwd, _flat_spmm_bwd)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["plan", "plan_t"],
+    meta_fields=["n_in", "n_out"],
+)
+@dataclasses.dataclass(frozen=True)
+class FlatRowSplitOperator:
+    """(n_out x n_in) sparse operator: (n_in, F) -> (n_out, F)."""
+
+    n_in: int
+    n_out: int
+    plan: RowSplitPlan
+    plan_t: RowSplitPlan
+
+    def __call__(self, X_flat: jax.Array) -> jax.Array:
+        return _flat_spmm(self.n_in, self.n_out, self.plan, self.plan_t, X_flat)
+
+
+def make_flat_operator(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_in: int,
+    n_out: int,
+    k: int = DEFAULT_K,
+) -> FlatRowSplitOperator:
+    """Build a rectangular operator from (row, col, val) triples.
+
+    Entries need not be pre-sorted; both the forward (row-sorted) and
+    transposed (col-sorted) segment plans are packed host-side.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    order = np.lexsort((cols, rows))
+    plan = pack_rowsplit_stream(rows[order], cols[order], vals[order], n_out, k)
+    order_t = np.lexsort((rows, cols))
+    plan_t = pack_rowsplit_stream(
+        cols[order_t], rows[order_t], vals[order_t], n_in, k
+    )
+    return FlatRowSplitOperator(n_in=n_in, n_out=n_out, plan=plan, plan_t=plan_t)

@@ -56,13 +56,14 @@ def save_artifact(path: str | Path, data: PreprocessedData) -> None:
 
 
 def _tensor_from_keys(
-    content: dict, key: str, n_slices: int, n_nodes: int, pad_multiple: int = 128
+    content: dict, key: str, n_slices: int, n_nodes: int, pad_multiple: int = 128,
+    base: int = 1,
 ) -> TemporalCOO:
     subs = np.asarray(content[f"{key}_subs"], dtype=np.int64)
     vals = np.asarray(content[f"{key}_vals"], dtype=np.float64).ravel()
     if subs.shape[0] == 3 and subs.shape[1] != 3:
         subs = subs.T  # tolerate (3, nnz) layouts
-    t, r, c = subs[:, 0] - 1, subs[:, 1] - 1, subs[:, 2] - 1
+    t, r, c = subs[:, 0] - base, subs[:, 1] - base, subs[:, 2] - base
     return TemporalCOO.from_global_coo(
         t, r, c, vals, n_slices, n_nodes, pad_multiple=pad_multiple
     )
@@ -82,31 +83,40 @@ def load_artifact(
     labels_subs = np.asarray(content["A_labels_subs"], dtype=np.int64)
     if labels_subs.shape[0] == 3 and labels_subs.shape[1] != 3:
         labels_subs = labels_subs.T
+    # MATLAB-convention artifacts (read_data.m, and ours) store 1-based
+    # subscripts; the reference's own Python port saves raw torch
+    # indices, which are 0-based (read_data.py:229-246). Detect: a
+    # 0-based file has slice id 0 somewhere.
+    base = 0 if int(labels_subs[:, 0].min()) == 0 else 1
     # Max subscript undercounts T when trailing slices carry no labeled
     # edges; min_slices (s_train+s_val+s_test) restores the true extent.
-    T = int(labels_subs[:, 0].max())
+    T = int(labels_subs[:, 0].max()) + 1 - base
     if min_slices is not None:
         T = max(T, min_slices)
-    N = int(max(labels_subs[:, 1].max(), labels_subs[:, 2].max()))
+    N = int(max(labels_subs[:, 1].max(), labels_subs[:, 2].max())) + 1 - base
 
     out = {
-        "A_labels": _tensor_from_keys(content, "A_labels", T, N, pad_multiple),
+        "A_labels": _tensor_from_keys(
+            content, "A_labels", T, N, pad_multiple, base
+        ),
         "M": np.asarray(content["M"], dtype=np.float64),
         "n_nodes": N,
         "n_slices": T,
     }
     if "A_subs" in content:
-        out["A"] = _tensor_from_keys(content, "A", T, N, pad_multiple)
+        out["A"] = _tensor_from_keys(content, "A", T, N, pad_multiple, base)
     # The drivers rebuild A as ones on A_labels' support
     # (experiment_bitcoin_our.py:50); replicate for degree-feature parity.
-    t_, r_, c_ = labels_subs[:, 0] - 1, labels_subs[:, 1] - 1, labels_subs[:, 2] - 1
+    t_ = labels_subs[:, 0] - base
+    r_ = labels_subs[:, 1] - base
+    c_ = labels_subs[:, 2] - base
     out["A_binary"] = TemporalCOO.from_global_coo(
         t_, r_, c_, np.ones(len(t_)), T, N, pad_multiple=pad_multiple
     )
     out["Ct"] = {
-        w: _tensor_from_keys(content, f"Ct_{w}", s_train, N, pad_multiple)
+        w: _tensor_from_keys(content, f"Ct_{w}", s_train, N, pad_multiple, base)
         for w in ("train", "val", "test")
     }
     if "C_subs" in content:
-        out["C"] = _tensor_from_keys(content, "C", T, N, pad_multiple)
+        out["C"] = _tensor_from_keys(content, "C", T, N, pad_multiple, base)
     return out

@@ -45,11 +45,13 @@ def _cache_edge_rows(bundle: dict, dtype) -> None:
     bundle["cached_trg"] = flat[e[0] * N + e[2]]
 
 
-def _fast_edge_logits(W, U, bundle: dict, dtype):
+def _fast_edge_logits(W, U, bundle: dict, dtype, readout: str = "concat"):
     """logits = (AtXt_src @ W) @ U_src + (AtXt_trg @ W) @ U_trg.
 
     Identical math to embed + edge_readout for 1-layer condensed models
-    (row selection commutes with the right-matmul by W).
+    (row selection commutes with the right-matmul by W). The bilinear
+    readout variant multiplies the endpoint embeddings elementwise
+    instead (edge_readout_bilinear).
     """
     import jax.numpy as _jnp
 
@@ -58,7 +60,48 @@ def _fast_edge_logits(W, U, bundle: dict, dtype):
     U = U.astype(dtype)
     src = _jnp.matmul(bundle["cached_src"], W)
     trg = _jnp.matmul(bundle["cached_trg"], W)
+    if readout == "bilinear":
+        return (src * trg) @ U
     return src @ U[:F1] + trg @ U[F1:]
+
+
+def _build_restricted_layer2(
+    bundle: dict, A: TemporalCOO, edges_np: np.ndarray, drop_last_slice: bool
+) -> None:
+    """Restrict the layer-2 propagation to readout-visible rows.
+
+    The edge readout only ever gathers embedding rows at labeled-edge
+    endpoints, so the per-epoch layer-2 SpMM A ⊛ Y only needs the output
+    rows in that endpoint set — on chess that is ~14% of the nonzeros
+    (the reference computes all N rows every epoch,
+    embedding_help_functions.py:301-312,348-349). Host-side: build a
+    rectangular (endpoints x T*N) operator plus per-edge compact
+    indices; the readout then gathers straight from compact rows.
+    """
+    from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream, make_flat_operator
+
+    if drop_last_slice:
+        A = A.slice_window(0, A.n_slices - 1)
+    T, N = A.n_slices, A.n_nodes
+    e = np.asarray(edges_np, np.int64)
+    src_keys = e[0] * N + e[1]
+    trg_keys = e[0] * N + e[2]
+    uniq = np.unique(np.concatenate([src_keys, trg_keys]))
+    g_rows, g_cols, g_vals = flatten_stream(A)
+    idx = np.searchsorted(uniq, g_rows)
+    idx = np.minimum(idx, len(uniq) - 1)
+    member = uniq[idx] == g_rows
+    op = make_flat_operator(
+        idx[member], g_cols[member], g_vals[member],
+        n_in=T * N, n_out=len(uniq), k=4,
+    )
+    bundle["l2op"] = jax.device_put(op)
+    bundle["l2_src"] = jax.device_put(
+        jnp.asarray(np.searchsorted(uniq, src_keys), jnp.int32)
+    )
+    bundle["l2_trg"] = jax.device_put(
+        jnp.asarray(np.searchsorted(uniq, trg_keys), jnp.int32)
+    )
 
 
 def _readout_fn(bundle: dict):
@@ -178,8 +221,43 @@ def make_edge_adapter(
 
             def apply(variables, bundle, carry):
                 return _fast_edge_logits(
-                    variables["params"]["W"], variables["params"]["U"], bundle, model.dtype
+                    variables["params"]["W"], variables["params"]["U"], bundle,
+                    model.dtype, model.readout,
                 ), carry
+
+            return ModelAdapter(model.init, apply, bundles, lambda variables: ())
+
+        if (
+            isinstance(model, TMGCN2)
+            and model.condensed_W
+            and not model.use_Minv
+            and not model.apply_M_twice
+        ):
+            # Readout-restricted layer 2: the per-epoch SpMM computes
+            # only endpoint rows (identical math — row selection of the
+            # readout commutes with layer-2's SpMM output).
+            from tmgcn_tpu.models.common import nonlinearity
+
+            for w in WINDOWS:
+                _build_restricted_layer2(
+                    bundles[w], adj[w], np.asarray(edges[w]), drop_last_slice
+                )
+
+            def apply(variables, bundle, carry):
+                p = variables["params"]
+                dtype = model.dtype
+                H = bundle["cached"].astype(dtype)
+                T, N, _ = H.shape
+                Y = jnp.matmul(H, p["W1"].astype(H.dtype))
+                Y = nonlinearity(model.nonlin2)(Y)
+                if model.interlayer_dtype is not None:
+                    Y = Y.astype(model.interlayer_dtype)
+                Zc = bundle["l2op"](Y.reshape(T * N, -1)).astype(dtype)
+                Zc = jnp.matmul(Zc, p["W2"].astype(dtype)).astype(dtype)
+                F2 = Zc.shape[-1]
+                U = p["U"].astype(dtype)
+                logits = Zc[bundle["l2_src"]] @ U[:F2] + Zc[bundle["l2_trg"]] @ U[F2:]
+                return logits, carry
 
             return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
