@@ -120,6 +120,10 @@ def build_data(
         )
         M = make_m_matrix(spec.s_train, 20)
         X = degree_features_np(A)
+        if cfg.sbm_features == "degree_spectral":
+            from tmgcn_tpu.ops.degree import spectral_features_np
+
+            X = np.concatenate([X, spectral_features_np(A, k=2)], axis=-1)
         A_model = A
         if cfg.sbm_normalize:
             from tmgcn_tpu.preprocess.pipeline import normalize_laplacian
@@ -311,6 +315,7 @@ def build_model(cfg: ExperimentConfig, n_slices: int, in_feat: int):
             use_Minv=cfg.use_Minv,
             dtype=dtype,
             spmm_impl=cfg.spmm_impl,
+            readout=cfg.readout,
         )
     if cfg.method == "gcn":
         return KWGCN(

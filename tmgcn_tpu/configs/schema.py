@@ -64,6 +64,17 @@ class ExperimentConfig:
     # sbm_normalize=True applies the standard D^{-1/2}(A+I)D^{-1/2}
     # instead (the framework's recommended configuration).
     sbm_normalize: bool = False
+    # "degree" = the reference's [in-deg, out-deg] features (which carry
+    # no community signal on SBM — trained MAP stays at the 0.05
+    # negative-sampling base rate); "degree_spectral" appends top-2
+    # eigenvectors of the aggregated normalized adjacency so link
+    # prediction has something to learn (ops/degree.spectral_features_np).
+    sbm_features: str = "degree"
+    # Edge-readout head (1-layer TM-GCN): "concat" = the reference's
+    # additive [Y_src, Y_trg] @ U; "bilinear" = (Y_src ⊙ Y_trg) @ U —
+    # a framework extension that expresses endpoint affinity, which an
+    # additive head cannot (needed for SBM community link prediction).
+    readout: str = "concat"
     seir_n_nodes: int = 200
     seir_n_slices: int = 100
     seir_out_idx: int = 2

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 
 from tmgcn_tpu.core.sparse import TemporalCOO
 from tmgcn_tpu.models.common import nonlinearity, randn, split_dict
-from tmgcn_tpu.ops.edge_readout import edge_readout
+from tmgcn_tpu.ops.edge_readout import edge_readout, edge_readout_bilinear
 from tmgcn_tpu.ops.mtransform import m_transform, m_transform_inverse
 from tmgcn_tpu.ops.spmm import spmm
 
@@ -47,15 +47,21 @@ class TMGCN:
     use_Minv: bool = False
     dtype: jnp.dtype = jnp.float32
     spmm_impl: str = "jnp"
+    # "concat" = the reference's additive head [Y_src, Y_trg] @ U
+    # (U in R^{2F x C}); "bilinear" = (Y_src ⊙ Y_trg) @ U (U in R^{F x C}),
+    # a framework extension that can express endpoint AFFINITY — required
+    # for community-structured link prediction (see edge_readout_bilinear).
+    readout: str = "concat"
 
     def init(self, key: jax.Array) -> dict:
         f0, (f1, c) = self.in_feat, self.hidden_feat
         k = split_dict(key, ["W", "U"])
         w_shape = (f0, f1) if self.condensed_W else (self.n_slices, f0, f1)
+        u_rows = f1 if self.readout == "bilinear" else 2 * f1
         return {
             "params": {
                 "W": randn(k["W"], w_shape, self.dtype),
-                "U": randn(k["U"], (2 * f1, c), self.dtype),
+                "U": randn(k["U"], (u_rows, c), self.dtype),
             },
             "buffers": {},
         }
@@ -103,6 +109,8 @@ class TMGCN:
         """(E, C) edge logits."""
         Y = self.embed(variables, Ct, X, M, AtXt)
         U = variables["params"]["U"]
+        if self.readout == "bilinear":
+            return edge_readout_bilinear(Y, edges, U)
         if readout_op is not None:
             return readout_op(Y, U)
         return edge_readout(Y, edges, U)

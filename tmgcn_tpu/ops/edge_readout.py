@@ -56,6 +56,26 @@ def edge_readout(
     return src @ U_src + trg @ U_trg
 
 
+def edge_readout_bilinear(
+    Y: jax.Array,
+    edges: jax.Array,
+    U: jax.Array,
+) -> jax.Array:
+    """Per-edge logits from the elementwise PRODUCT of endpoint embeddings.
+
+    logits = (Y[k,i] ⊙ Y[k,j]) @ U with U in R^{F x C}. A framework
+    extension beyond the reference (whose concat readout
+    `[Y_src, Y_trg] @ U`, embedding_help_functions.py:228-233, is
+    additive in the endpoints and therefore cannot express
+    same-community affinity — the signal that makes SBM link prediction
+    learnable; see configs/schema.ExperimentConfig.readout).
+    """
+    T, N, F = Y.shape
+    flat = Y.reshape(T * N, F)
+    src_idx, trg_idx = edge_flat_indices(edges, N)
+    return (flat[src_idx] * flat[trg_idx]) @ U.astype(Y.dtype)
+
+
 def edge_embeddings(Y: jax.Array, edges: jax.Array) -> jax.Array:
     """The explicit (E, 2F) concatenated edge embeddings (for tests)."""
     T, N, F = Y.shape

@@ -1,6 +1,6 @@
 """Scaling-efficiency harness: sharded training step across mesh sizes.
 
-    python -m tmgcn_tpu.utils.scaling_bench [--devices 8] [--cpu]
+    python -m tmgcn_tpu.utils.scaling_bench [--devices 8] [--cpu] [--out results/scaling.json]
 
 Measures the (graph x time) sharded TM-GCN training step at increasing
 device counts on whatever devices are available, reporting edges/s and
@@ -68,6 +68,7 @@ def run(max_devices: int | None = None, force_cpu: bool = False) -> list[dict]:
 
     results = []
     base_rate = None
+    control_base = None
     for n_dev, n_graph, n_time in configs:
         mesh = make_mesh(n_graph=n_graph, n_time=n_time, devices=jax.devices()[:n_dev])
         A_sh = partition_rows(A, n_graph)
@@ -96,6 +97,37 @@ def run(max_devices: int | None = None, force_cpu: bool = False) -> list[dict]:
         rate = E / dt
         if base_rate is None:
             base_rate = rate
+
+        # Control: a zero-communication batched matmul sharded over the
+        # same devices (per-device work constant). If THIS fails to
+        # scale, the "devices" share hardware (virtual CPU mesh:
+        # threads competing for the same cores/bandwidth) and the
+        # efficiency column measures the host, not our collectives.
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh_devices = mesh
+        ctrl = jnp.asarray(
+            rng.standard_normal((n_dev * 4, 512, 512)).astype(np.float32)
+        )
+        ctrl = jax.device_put(ctrl, NamedSharding(mesh_devices, P(("graph", "time"))))
+
+        @jax.jit
+        def ctrl_step(x):
+            for _ in range(8):
+                x = jnp.tanh(x @ x)
+            return x
+
+        ctrl_out = ctrl_step(ctrl)
+        ctrl_out.block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(10):
+            ctrl_out = ctrl_step(ctrl_out)
+        ctrl_out.block_until_ready()
+        ctrl_dt = (time.perf_counter() - t0) / 10
+        ctrl_rate = n_dev / ctrl_dt  # per-device-work units per second
+        if control_base is None:
+            control_base = ctrl_rate / n_dev
+
         results.append(
             {
                 "devices": n_dev,
@@ -103,6 +135,9 @@ def run(max_devices: int | None = None, force_cpu: bool = False) -> list[dict]:
                 "step_ms": round(dt * 1e3, 2),
                 "edges_per_s": round(rate),
                 "efficiency": round(rate / (base_rate * n_dev), 3),
+                "control_no_comm_efficiency": round(
+                    ctrl_rate / (control_base * n_dev), 3
+                ),
             }
         )
         print(json.dumps(results[-1]))
@@ -113,5 +148,17 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--out", default=None, help="write JSON results here")
     a = ap.parse_args()
-    run(a.devices, a.cpu)
+    rows = run(a.devices, a.cpu)
+    if a.out:
+        import pathlib
+
+        import jax
+
+        payload = {
+            "backend": jax.default_backend(),
+            "workload": "strong scaling: T=16 N=4096 F=32 E=100k nnz=640k",
+            "results": rows,
+        }
+        pathlib.Path(a.out).write_text(json.dumps(payload, indent=1))
