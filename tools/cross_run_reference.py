@@ -1,0 +1,327 @@
+"""Cross-run parity: the actual reference drivers on OUR artifacts.
+
+Replicates the chess cross-run pattern (RESULTS.md) for the two runs
+VERDICT round 1 called out:
+
+  * ``bitcoin_alpha`` — edge classification via the reference's
+    ``experiment_bitcoin_our.py`` (TensorGCN-master), dataset=Alpha,
+    fed the artifact our pipeline builds from the synthetic raw CSV in
+    ``data/synthetic/bitcoin_alpha/``.
+  * ``uci`` — the unique 2-layer ``apply_M_twice + apply_M_three_times``
+    link-prediction config (``experiment_uci_our_link_prediction.py:69``)
+    on our synthetic UCI artifact, with the reference's unseeded
+    ``augment_edges`` monkeypatched to return OUR seeded negative-edge
+    set so both frameworks score identical edges.
+
+Both subcommands run the patched reference driver (settings changed only
+for epoch count / alpha subset / data location / modern-torch dtype
+compat) AND our matching preset on the same artifact, then print a
+side-by-side loss table and write results/cross_run_<name>.json.
+
+    python tools/cross_run_reference.py bitcoin_alpha --epochs 300
+    python tools/cross_run_reference.py uci --epochs 300
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+REFERENCE_DIR = Path("/root/reference/TensorGCN-master")
+
+# Modern-torch compatibility transforms (same set as the chess
+# cross-run): float32-ify the f64 mat ingestion (sparse FloatTensor
+# rejects f64 values), and int-ify np.max outputs for t.Size.
+DTYPE_TRANSFORMS = [
+    (".double()", ".float()"),
+    ("dtype=t.float64", "dtype=t.float32"),
+    ("A_sz = t.Size([T, N, N])", "A_sz = t.Size([int(T), int(N), int(N)])"),
+    (
+        "C_sz = t.Size([S_train, N, N])",
+        "C_sz = t.Size([int(S_train), int(N), int(N)])",
+    ),
+    (
+        'sq(t.tensor(saved_content["A_labels_vals"]))',
+        'sq(t.tensor(saved_content["A_labels_vals"])).float()',
+    ),
+    (
+        'sq(t.tensor(saved_content["Ct_train_vals"]))',
+        'sq(t.tensor(saved_content["Ct_train_vals"])).float()',
+    ),
+    (
+        'sq(t.tensor(saved_content["Ct_val_vals"]))',
+        'sq(t.tensor(saved_content["Ct_val_vals"])).float()',
+    ),
+    (
+        'sq(t.tensor(saved_content["Ct_test_vals"]))',
+        'sq(t.tensor(saved_content["Ct_test_vals"])).float()',
+    ),
+]
+
+
+def ensure_artifact(dataset: str) -> Path:
+    """Synthetic raw + our preprocessed artifact for ``dataset``."""
+    from tmgcn_tpu.preprocess.datasets import REGISTRY, load_raw
+    from tmgcn_tpu.preprocess.matio import save_artifact
+    from tmgcn_tpu.preprocess.pipeline import preprocess
+    from tmgcn_tpu.preprocess.synthetic_raw import generate
+
+    spec = REGISTRY[dataset]
+    d = REPO / "data/synthetic" / dataset
+    if not (d / spec.filename).exists():
+        generate(dataset, d, seed=0)
+    mat = d / f"saved_content_{dataset}.mat"
+    if not mat.exists():
+        data = preprocess(load_raw(spec, d), spec.preprocess)
+        save_artifact(mat, data)
+    return mat
+
+
+def run_reference_driver(
+    driver: str,
+    patches: list[tuple[str, str]],
+    workdir: Path,
+    tag: str,
+    post_load=None,
+) -> dict[str, np.ndarray]:
+    """Exec the patched reference driver; return {fname: ep_acc_loss}."""
+    from reference_loader import load_reference_module
+
+    # The driver does `import embedding_help_functions as ehf`; load the
+    # reference module (with dtype transforms) under that name first.
+    ehf = load_reference_module(
+        "embedding_help_functions",
+        transforms=DTYPE_TRANSFORMS,
+        alias="embedding_help_functions",
+    )
+    if post_load is not None:
+        post_load(ehf)
+    src = (REFERENCE_DIR / f"{driver}.py").read_text()
+    for old, new in patches + DTYPE_TRANSFORMS:
+        if old not in src:
+            continue  # dtype transforms are per-driver best-effort
+        src = src.replace(old, new)
+    workdir.mkdir(parents=True, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    try:
+        exec(compile(src, f"{driver}_patched_{tag}.py", "exec"), {"__name__": "__main__"})
+    finally:
+        os.chdir(cwd)
+    import pickle
+
+    out = {}
+    for f in sorted(workdir.glob("results_OUR_*")):
+        out[f.name] = pickle.load(open(f, "rb"))
+    return out
+
+
+def cross_bitcoin_alpha(epochs: int, alphas: list[float]) -> dict:
+    mat = ensure_artifact("bitcoin_alpha")
+    tag = "bitcoin_alpha"
+    workdir = REPO / "results/cross_run_bitcoin_alpha"
+    alpha_list = "[" + ", ".join(f"{a:.2f}" for a in alphas) + "]"
+    patches = [
+        ("no_epochs = 10000", f"no_epochs = {epochs}"),
+        (
+            "alpha_vec = [.75, .76, .77, .78, .79, .80, .81, .82, .83, .84, "
+            ".85, .86, .87, .88, .89, .90, .91, .92, .93, .94, .95]",
+            f"alpha_vec = {alpha_list}",
+        ),
+        ('dataset = "OTC" # OTC or Alpha', 'dataset = "Alpha"'),
+        (
+            'data_loc = "data/Bitcoin_" + dataset + "/"',
+            f'data_loc = "{mat.parent}/"',
+        ),
+        (
+            'mat_f_name = "saved_content_bitcoin_otc.mat"',
+            f'mat_f_name = "{mat.name}"',
+        ),
+    ]
+    ref = run_reference_driver("experiment_bitcoin_our", patches, workdir, tag)
+
+    # Ours: same artifact, same alphas/epochs, full reference protocol.
+    from tmgcn_tpu.configs.build import run_experiment
+    from tmgcn_tpu.configs.presets import get_preset
+
+    ours = run_experiment(
+        get_preset("bitcoin_alpha_tmgcn_cls"),
+        data_dir=mat.parent,
+        n_epochs=epochs,
+        alpha_vec=tuple(alphas),
+        verbose=False,
+    )
+    rows = []
+    for a in alphas:
+        w = round(a * 100)
+        ref_arr = next(
+            (v for k, v in ref.items() if f"_w{w}_" in k), None
+        )
+        our_arr = next(
+            (
+                np.asarray(v)
+                for k, v in ours["results"].items()
+                if round(float(k[1]) * 100) == w
+            ),
+            None,
+        )
+        if ref_arr is None or our_arr is None:
+            continue
+        # layout: (precision, recall, f1, loss) x train/val/test
+        rows.append(
+            {
+                "alpha": a,
+                "ref_final": {
+                    "train_loss": float(ref_arr[-1, 3]),
+                    "val_loss": float(ref_arr[-1, 7]),
+                    "test_loss": float(ref_arr[-1, 11]),
+                    "train_f1": float(ref_arr[-1, 2]),
+                    "val_f1": float(ref_arr[-1, 6]),
+                },
+                "ours_final": {
+                    "train_loss": float(our_arr[-1, 3]),
+                    "val_loss": float(our_arr[-1, 7]),
+                    "test_loss": float(our_arr[-1, 11]),
+                    "train_f1": float(our_arr[-1, 2]),
+                    "val_f1": float(our_arr[-1, 6]),
+                },
+            }
+        )
+    return {"dataset": "bitcoin_alpha", "epochs": epochs, "rows": rows}
+
+
+def cross_uci(epochs: int, alphas: list[float]) -> dict:
+    mat = ensure_artifact("uci")
+    workdir = REPO / "results/cross_run_uci"
+
+    # Build OUR seeded negative-edge set on the artifact's real edges and
+    # monkeypatch the reference's unseeded sampler to return it.
+    import scipy.io as sio
+    import torch as t
+
+    from tmgcn_tpu.tasks.sampling import augment_edges as our_augment
+
+    content = sio.loadmat(mat)
+    subs = np.asarray(content["A_labels_subs"], np.int64)
+    if subs.shape[0] == 3 and subs.shape[1] != 3:
+        subs = subs.T
+    # torch coalesce() sorts indices lexicographically — replicate so the
+    # real-edge stream is identical on both sides.
+    e = (subs - 1).T  # (3, E) 0-based [slice, src, trg]
+    order = np.lexsort((e[2], e[1], e[0]))
+    e = e[:, order]
+    N = int(max(e[1].max(), e[2].max())) + 1
+    beta1 = beta2 = 19
+    cutoff = 62
+    aug, labels = our_augment(e, N, beta1, beta2, cutoff, seed=0)
+    aug_t = t.tensor(np.asarray(aug), dtype=t.long)
+    labels_t = t.tensor(np.asarray(labels), dtype=t.long)
+
+    alpha_list = "[" + ", ".join(f"{a:.2f}" for a in alphas) + "]"
+    patches = [
+        ("no_epochs = 1000", f"no_epochs = {epochs}"),
+        (
+            "alpha_vec = [.75, .76, .77, .78, .79, .80, .81, .82, .83, .84, "
+            ".85, .86, .87, .88, .89, .90, .91, .92, .93, .94, .95]",
+            f"alpha_vec = {alpha_list}",
+        ),
+        ('data_loc = "data/" + dataset + "/"', f'data_loc = "{mat.parent}/"'),
+        ('mat_f_name = "saved_content_uci.mat"', f'mat_f_name = "{mat.name}"'),
+    ]
+    def inject_negatives(ehf):
+        ehf.augment_edges = lambda edges, N_, b1, b2, cut: (aug_t, labels_t)
+
+    ref = run_reference_driver(
+        "experiment_uci_our_link_prediction",
+        patches,
+        workdir,
+        "uci",
+        post_load=inject_negatives,
+    )
+
+    from tmgcn_tpu.configs.build import run_experiment
+    from tmgcn_tpu.configs.presets import get_preset
+
+    ours = run_experiment(
+        get_preset("uci_tmgcn_lp"),
+        data_dir=mat.parent,
+        n_epochs=epochs,
+        alpha_vec=tuple(alphas),
+        verbose=False,
+    )
+    rows = []
+    for a in alphas:
+        w = round(a * 100)
+        ref_arr = next((v for k, v in ref.items() if f"_w{w}_" in k), None)
+        our_arr = next(
+            (
+                np.asarray(v)
+                for k, v in ours["results"].items()
+                if round(float(k[1]) * 100) == w
+            ),
+            None,
+        )
+        if ref_arr is None or our_arr is None:
+            continue
+        # layout: (MAP, MRR, loss) x train/val/test
+        rows.append(
+            {
+                "alpha": a,
+                "ref_final": {
+                    "train_map": float(ref_arr[-1, 0]),
+                    "train_loss": float(ref_arr[-1, 2]),
+                    "val_map": float(ref_arr[-1, 3]),
+                    "val_loss": float(ref_arr[-1, 5]),
+                    "test_map": float(ref_arr[-1, 6]),
+                    "test_loss": float(ref_arr[-1, 8]),
+                },
+                "ours_final": {
+                    "train_map": float(our_arr[-1, 0]),
+                    "train_loss": float(our_arr[-1, 2]),
+                    "val_map": float(our_arr[-1, 3]),
+                    "val_loss": float(our_arr[-1, 5]),
+                    "test_map": float(our_arr[-1, 6]),
+                    "test_loss": float(our_arr[-1, 8]),
+                },
+            }
+        )
+    return {"dataset": "uci_2layer_M3_lp", "epochs": epochs, "rows": rows}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("which", choices=["bitcoin_alpha", "uci"])
+    ap.add_argument("--epochs", type=int, default=300)
+    ap.add_argument("--alphas", default="0.90")
+    args = ap.parse_args()
+    alphas = [float(a) for a in args.alphas.split(",")]
+
+    out = (
+        cross_bitcoin_alpha(args.epochs, alphas)
+        if args.which == "bitcoin_alpha"
+        else cross_uci(args.epochs, alphas)
+    )
+    path = REPO / f"results/cross_run_{args.which}.json"
+    path.write_text(json.dumps(out, indent=1))
+    for r in out["rows"]:
+        print(f"alpha={r['alpha']}")
+        for k in r["ref_final"]:
+            print(
+                f"  {k:12s} ref {r['ref_final'][k]:.6f}  "
+                f"ours {r['ours_final'][k]:.6f}"
+            )
+    print(f"wrote {path}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
