@@ -195,6 +195,12 @@ def bench_ours2_full(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED2):
         from tmgcn_tpu.kernels.spmm_pallas import make_operator
 
         A_op = make_operator(A, chunk=512, window=256)
+    elif spmm_impl == "pallas_bf16":
+        from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+        A_op = make_operator(
+            A, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
+        )
     else:
         A_op = A
     A_op = jax.device_put(A_op)
@@ -338,6 +344,12 @@ def bench_spmm_isolated(data, impl: str) -> dict:
         from tmgcn_tpu.kernels.spmm_pallas import make_operator
 
         op = make_operator(Ct)
+    elif impl == "pallas_bf16":
+        from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+        op = make_operator(
+            Ct, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
+        )
     else:
         from tmgcn_tpu.ops.spmm import spmm
 
@@ -380,7 +392,7 @@ def main() -> int:
 
     # --- isolated SpMM roofline (layer-2 shape) ---
     spmm_stats = {}
-    for impl in ("jnp", "rowsplit", "pallas"):
+    for impl in ("jnp", "rowsplit", "pallas", "pallas_bf16"):
         try:
             spmm_stats[impl] = bench_spmm_isolated(data, impl)
             stage(f"spmm [{impl}] {spmm_stats[impl]}")

@@ -98,3 +98,64 @@ class TestKernelInterpret:
         out_op = model.apply(v, op, X, edges, M)
         out_coo = model.apply(v, A, X, edges, M)
         np.testing.assert_allclose(np.asarray(out_op), np.asarray(out_coo), atol=1e-4)
+
+
+class TestBf16Gather:
+    def test_forward_close_to_f32(self, setup):
+        """gather_dtype=bf16: f32-accumulated result within bf16 rounding."""
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True,
+                           gather_dtype="bfloat16")
+        out = np.asarray(op(X))
+        assert out.dtype == np.float32  # accumulation/output stay f32
+        ref = np.asarray(spmm(A, X))
+        # Error budget: X and vals are bf16-rounded (2^-8 relative each),
+        # accumulation exact in f32.
+        scale = np.abs(ref).max()
+        np.testing.assert_allclose(out, ref, atol=2e-2 * scale)
+        # And it must be measurably *different* from exact (i.e. the
+        # bf16 path was actually taken).
+        assert np.abs(out - ref).max() > 0
+
+    def test_backward_close_to_f32(self, setup):
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True,
+                           gather_dtype="bfloat16")
+        G = jnp.asarray(np.random.default_rng(5).standard_normal(X.shape), jnp.float32)
+        dX = np.asarray(jax.grad(lambda x: jnp.vdot(op(x), G))(X))
+        dX_ref = np.asarray(jax.grad(lambda x: jnp.vdot(spmm(A, x), G))(X))
+        scale = np.abs(dX_ref).max()
+        np.testing.assert_allclose(dX, dX_ref, atol=2e-2 * scale)
+
+
+class TestSortCols:
+    def test_forward_exact_vs_unsorted(self, setup):
+        """Column-sorted packing computes the same sums (f32, reordered
+        adds may differ by float assoc — compare loosely) and exactly
+        preserves the entry multiset."""
+        from tmgcn_tpu.kernels.spmm_pallas import pack_windowed
+
+        A, X, dense = setup
+        p0 = pack_windowed(A, chunk=64, window=64)
+        p1 = pack_windowed(A, chunk=64, window=64, sort_cols=True)
+        # Same multiset of (global_row, col, val) triples.
+        def triples(p):
+            r = np.asarray(p.rows) + np.asarray(p.window_id)[:, None] * 64
+            c = np.asarray(p.cols)
+            v = np.asarray(p.vals)
+            keep = v.ravel() != 0
+            return sorted(zip(r.ravel()[keep], c.ravel()[keep], v.ravel()[keep]))
+        assert triples(p0) == triples(p1)
+
+        op = make_operator(A, chunk=64, window=64, interpret=True, sort_cols=True)
+        out = np.asarray(op(X))
+        ref = np.asarray(spmm(A, X))
+        np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    def test_backward(self, setup):
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True, sort_cols=True)
+        G = jnp.asarray(np.random.default_rng(7).standard_normal(X.shape), jnp.float32)
+        dX = jax.grad(lambda x: jnp.vdot(op(x), G))(X)
+        dX_ref = jax.grad(lambda x: jnp.vdot(spmm(A, x), G))(X)
+        np.testing.assert_allclose(np.asarray(dX), np.asarray(dX_ref), atol=1e-5)

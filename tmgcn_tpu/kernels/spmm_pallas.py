@@ -76,6 +76,7 @@ def pack_windowed(
     A: TemporalCOO,
     chunk: int = DEFAULT_CHUNK,
     window: int = DEFAULT_WINDOW,
+    sort_cols: bool = False,
 ) -> PackedSpmm:
     """Pack a temporal COO tensor for the kernel (host-side, once).
 
@@ -83,6 +84,12 @@ def pack_windowed(
     the row-sorted entry stream into chunks of ``chunk`` entries that
     never cross a ``window``-aligned output boundary. Every window gets
     at least one chunk so all output blocks are initialized.
+
+    sort_cols=True reorders entries within each output window by column
+    id. The one-hot scatter is order-invariant inside a window, but the
+    XLA gather of X rows costs one (8, 128) HBM tile per DISTINCT random
+    row — column-sorted chunks turn repeated/nearby columns (common in
+    graph-local, M-banded adjacency) into same-tile reads.
     """
     rows_np = np.asarray(A.rows)
     cols_np = np.asarray(A.cols)
@@ -103,6 +110,13 @@ def pack_windowed(
     g_rows = np.concatenate(parts_r) if parts_r else np.zeros(0, np.int64)
     g_cols = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
     g_vals = np.concatenate(parts_v) if parts_v else np.zeros(0, vals_np.dtype)
+
+    if sort_cols and len(g_rows):
+        # Stable (window, col) order: window ids stay monotonic (both
+        # packers cut chunks on window change), rows within a window are
+        # free to permute.
+        order = np.lexsort((g_cols, g_rows // window))
+        g_rows, g_cols, g_vals = g_rows[order], g_cols[order], g_vals[order]
 
     try:
         from tmgcn_tpu import native
@@ -192,19 +206,24 @@ def _scatter_kernel(wid_ref, first_ref, rows_ref, vals_ref, g_ref, out_ref, *, p
     C = rows_ref.shape[-1]
     W = out_ref.shape[0]
     rel = rows_ref[0, 0]  # (C,) int32, window-relative
-    scaled = g_ref[0] * vals_ref[0, 0][:, None].astype(g_ref.dtype)  # (C, F)
+    # vals stay f32 in memory: Mosaic only supports minor-dim insertion
+    # ((C,) -> (C,1)) for 32-bit types, so reshape first, cast after.
+    v_col = vals_ref[0, 0][:, None].astype(g_ref.dtype)  # (C, 1)
+    scaled = g_ref[0] * v_col  # (C, F)
     onehot = (
         jax.lax.broadcasted_iota(jnp.int32, (W, C), 0) == rel[None, :]
     ).astype(g_ref.dtype)
     # HIGHEST keeps f32 fidelity on the MXU (the one-hot side is exact;
     # DEFAULT rounds the value operand to bf16 — ~20%% faster, fine for
-    # production training).
+    # production training). With bf16 inputs (gather_dtype="bfloat16"),
+    # both operands are exactly representable and the MXU accumulates in
+    # f32 via preferred_element_type — the only loss is X's bf16 rounding.
     acc = jax.lax.dot_general(
         onehot,
         scaled,
         dimension_numbers=(((1,), (0,)), ((), ())),
         precision=precision,
-        preferred_element_type=g_ref.dtype,
+        preferred_element_type=out_ref.dtype,
     )
 
     @pl.when(first_ref[j] == 1)
@@ -221,11 +240,18 @@ def windowed_segment_matmul(
     gathered: jax.Array,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    out_dtype=None,
 ) -> jax.Array:
-    """(J, C, F) gathered chunks -> (n_rows_out, F) segment sums."""
+    """(J, C, F) gathered chunks -> (n_rows_out, F) segment sums.
+
+    out_dtype defaults to gathered.dtype; pass f32 with bf16 chunks for
+    bf16-traffic / f32-accumulate operation.
+    """
     J, C = packed.rows.shape
     F = gathered.shape[-1]
     W = packed.window
+    out_dtype = gathered.dtype if out_dtype is None else out_dtype
+    itemsize = jnp.dtype(gathered.dtype).itemsize
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # window_id, is_first
@@ -241,12 +267,12 @@ def windowed_segment_matmul(
     )
     return pl.pallas_call(
         partial(_scatter_kernel, precision=precision),
-        out_shape=jax.ShapeDtypeStruct((packed.n_rows_out, F), gathered.dtype),
+        out_shape=jax.ShapeDtypeStruct((packed.n_rows_out, F), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
         cost_estimate=pl.CostEstimate(
             flops=2 * J * W * C * F,
-            bytes_accessed=J * C * F * 4 + packed.n_rows_out * F * 4,
+            bytes_accessed=J * C * F * itemsize + packed.n_rows_out * F * 4,
             transcendentals=0,
         ),
     )(
@@ -258,12 +284,24 @@ def windowed_segment_matmul(
     )
 
 
-def _spmm_packed_fwd_impl(T, N, fast, interpret, packed, X):
+def _spmm_packed_fwd_impl(T, N, fast, interpret, gather_dtype, packed, X):
     F = X.shape[-1]
     flat = X.reshape(T * N, F)
+    if gather_dtype is not None:
+        # Cast BEFORE the gather: the random-row gather is the dominant
+        # HBM traffic, so moving it in bf16 halves the bottleneck. The
+        # kernel accumulates in X.dtype on the MXU (bf16 operands are
+        # exact there); only X's bf16 rounding is lost.
+        flat = flat.astype(gather_dtype)
     gathered = flat[packed.cols.reshape(-1)].reshape(packed.n_chunks, packed.chunk, F)
-    precision = jax.lax.Precision.DEFAULT if fast else jax.lax.Precision.HIGHEST
-    out = windowed_segment_matmul(packed, gathered, precision, interpret)
+    precision = (
+        jax.lax.Precision.DEFAULT
+        if (fast or gather_dtype is not None)
+        else jax.lax.Precision.HIGHEST
+    )
+    out = windowed_segment_matmul(
+        packed, gathered, precision, interpret, out_dtype=X.dtype
+    )
     return out[: T * N].reshape(T, N, F)
 
 
@@ -279,20 +317,20 @@ def _zero_cotangent(tree):
     return jax.tree.map(one, tree)
 
 
-@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3))
-def _spmm_packed(T, N, fast, interpret, packed, packed_t, X):
-    return _spmm_packed_fwd_impl(T, N, fast, interpret, packed, X)
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _spmm_packed(T, N, fast, interpret, gather_dtype, packed, packed_t, X):
+    return _spmm_packed_fwd_impl(T, N, fast, interpret, gather_dtype, packed, X)
 
 
-def _spmm_packed_fwd(T, N, fast, interpret, packed, packed_t, X):
-    out = _spmm_packed_fwd_impl(T, N, fast, interpret, packed, X)
+def _spmm_packed_fwd(T, N, fast, interpret, gather_dtype, packed, packed_t, X):
+    out = _spmm_packed_fwd_impl(T, N, fast, interpret, gather_dtype, packed, X)
     return out, (packed, packed_t)
 
 
-def _spmm_packed_bwd(T, N, fast, interpret, res, dY):
+def _spmm_packed_bwd(T, N, fast, interpret, gather_dtype, res, dY):
     packed, packed_t = res
     # dX = Aᵀ dY via the transposed packing; A itself is non-trainable.
-    dX = _spmm_packed_fwd_impl(T, N, fast, interpret, packed_t, dY)
+    dX = _spmm_packed_fwd_impl(T, N, fast, interpret, gather_dtype, packed_t, dY)
     return _zero_cotangent(packed), _zero_cotangent(packed_t), dX
 
 
@@ -302,14 +340,17 @@ _spmm_packed.defvjp(_spmm_packed_fwd, _spmm_packed_bwd)
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["packed", "packed_t"],
-    meta_fields=["T", "N", "fast", "interpret"],
+    meta_fields=["T", "N", "fast", "interpret", "gather_dtype"],
 )
 @dataclasses.dataclass(frozen=True)
 class PallasSpmmOperator:
     """A prepacked SpMM operator: call on (T, N, F) features.
 
     fast=True uses bf16-rounded MXU accumulation (~20%% faster); the
-    default keeps float32 fidelity. interpret=True runs the kernel in
+    default keeps float32 fidelity. gather_dtype="bfloat16" additionally
+    moves the gathered feature rows (the dominant HBM traffic) in bf16
+    while still accumulating windows in f32 — ~1e-3 relative error, the
+    production-training fast path. interpret=True runs the kernel in
     the Pallas interpreter (CPU testing).
     """
 
@@ -319,6 +360,7 @@ class PallasSpmmOperator:
     packed_t: PackedSpmm
     fast: bool = False
     interpret: bool = False
+    gather_dtype: str | None = None
 
     @property
     def n_slices(self) -> int:
@@ -330,7 +372,14 @@ class PallasSpmmOperator:
 
     def __call__(self, X: jax.Array) -> jax.Array:
         return _spmm_packed(
-            self.T, self.N, self.fast, self.interpret, self.packed, self.packed_t, X
+            self.T,
+            self.N,
+            self.fast,
+            self.interpret,
+            self.gather_dtype,
+            self.packed,
+            self.packed_t,
+            X,
         )
 
 
@@ -340,21 +389,27 @@ def make_operator(
     window: int = DEFAULT_WINDOW,
     fast: bool = False,
     interpret: bool | None = None,
+    gather_dtype: str | None = None,
+    sort_cols: bool = False,
 ) -> PallasSpmmOperator:
     """Prepack forward + transpose scatter plans for A (host-side).
 
     interpret=None auto-selects the Pallas interpreter on non-TPU
-    backends (Mosaic kernels only compile for TPU).
+    backends (Mosaic kernels only compile for TPU). gather_dtype
+    ("bfloat16") streams gathered rows in that dtype with f32 window
+    accumulation. sort_cols improves gather tile locality (see
+    pack_windowed).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     return PallasSpmmOperator(
         T=A.n_slices,
         N=A.n_nodes,
-        packed=pack_windowed(A, chunk, window),
-        packed_t=pack_windowed(A.transpose(), chunk, window),
+        packed=pack_windowed(A, chunk, window, sort_cols),
+        packed_t=pack_windowed(A.transpose(), chunk, window, sort_cols),
         fast=fast,
         interpret=interpret,
+        gather_dtype=gather_dtype,
     )
 
 

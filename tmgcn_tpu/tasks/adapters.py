@@ -128,7 +128,7 @@ class ModelAdapter:
         return self.apply(variables, self.bundles[window], carry)
 
 
-OPERATOR_IMPLS = ("pallas", "rowsplit")
+OPERATOR_IMPLS = ("pallas", "pallas_bf16", "rowsplit")
 
 
 def _prepare_bundles(
@@ -151,6 +151,15 @@ def _prepare_bundles(
             from tmgcn_tpu.kernels.spmm_pallas import make_operator
 
             A = make_operator(A)
+        elif spmm_operator == "pallas_bf16":
+            # Production-fast kernel: bf16 gather traffic, f32 window
+            # accumulation, column-sorted chunks (kernel_probe.py).
+            from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+            A = make_operator(
+                A, chunk=512, window=256, gather_dtype="bfloat16",
+                sort_cols=True,
+            )
         elif spmm_operator == "rowsplit":
             from tmgcn_tpu.ops.spmm_rowsplit import make_operator
 

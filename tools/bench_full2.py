@@ -30,7 +30,8 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="timed epochs per impl")
-    ap.add_argument("--impls", default="jnp,rowsplit,pallas")
+    ap.add_argument("--impls", default="jnp,rowsplit,pallas,pallas_bf16")
+    ap.add_argument("--no-torch", action="store_true")
     args = ap.parse_args()
 
     import jax
@@ -58,14 +59,15 @@ def main() -> int:
             out["full_row_ms"][impl] = None
             print(f"full-row 2-layer [{impl:8s}] FAILED: {e}", flush=True)
 
-    ref2 = bench_torch_reference2(data, splits)
-    out["torch_ms"] = round(ref2 * 1e3, 2)
-    print(f"full-row 2-layer [torch   ] {ref2 * 1e3:8.2f} ms/epoch", flush=True)
+    if not args.no_torch:
+        ref2 = bench_torch_reference2(data, splits)
+        out["torch_ms"] = round(ref2 * 1e3, 2)
+        print(f"full-row 2-layer [torch   ] {ref2 * 1e3:8.2f} ms/epoch", flush=True)
 
-    best = min((v for v in out["full_row_ms"].values() if v), default=None)
-    if best:
-        out["best_vs_torch"] = round(out["torch_ms"] / best, 2)
-        print(f"best vs torch: {out['best_vs_torch']}x")
+        best = min((v for v in out["full_row_ms"].values() if v), default=None)
+        if best:
+            out["best_vs_torch"] = round(out["torch_ms"] / best, 2)
+            print(f"best vs torch: {out['best_vs_torch']}x")
     (REPO / "results").mkdir(exist_ok=True)
     (REPO / "results/full2_bench.json").write_text(json.dumps(out, indent=1))
     return 0

@@ -199,7 +199,7 @@ def cross_bitcoin_alpha(epochs: int, alphas: list[float]) -> dict:
     return {"dataset": "bitcoin_alpha", "epochs": epochs, "rows": rows}
 
 
-def cross_uci(epochs: int, alphas: list[float]) -> dict:
+def cross_uci(epochs: int, alphas: list[float], lr: float | None = None) -> dict:
     mat = ensure_artifact("uci")
     workdir = REPO / "results/cross_run_uci"
 
@@ -237,6 +237,10 @@ def cross_uci(epochs: int, alphas: list[float]) -> dict:
         ('data_loc = "data/" + dataset + "/"', f'data_loc = "{mat.parent}/"'),
         ('mat_f_name = "saved_content_uci.mat"', f'mat_f_name = "{mat.name}"'),
     ]
+    if lr is not None:
+        # The reference's lr=0.01 diverges to NaN on the synthetic raw
+        # data (as it does on raw SBM/SEIR); patch BOTH sides equally.
+        patches.append(("lr = 0.01", f"lr = {lr}"))
     def inject_negatives(ehf):
         ehf.augment_edges = lambda edges, N_, b1, b2, cut: (aug_t, labels_t)
 
@@ -248,11 +252,16 @@ def cross_uci(epochs: int, alphas: list[float]) -> dict:
         post_load=inject_negatives,
     )
 
+    import dataclasses
+
     from tmgcn_tpu.configs.build import run_experiment
     from tmgcn_tpu.configs.presets import get_preset
 
+    cfg = get_preset("uci_tmgcn_lp")
+    if lr is not None:
+        cfg = dataclasses.replace(cfg, lr=lr)
     ours = run_experiment(
-        get_preset("uci_tmgcn_lp"),
+        cfg,
         data_dir=mat.parent,
         n_epochs=epochs,
         alpha_vec=tuple(alphas),
@@ -302,13 +311,14 @@ def main() -> int:
     ap.add_argument("which", choices=["bitcoin_alpha", "uci"])
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--alphas", default="0.90")
+    ap.add_argument("--lr", type=float, default=None)
     args = ap.parse_args()
     alphas = [float(a) for a in args.alphas.split(",")]
 
     out = (
         cross_bitcoin_alpha(args.epochs, alphas)
         if args.which == "bitcoin_alpha"
-        else cross_uci(args.epochs, alphas)
+        else cross_uci(args.epochs, alphas, lr=args.lr)
     )
     path = REPO / f"results/cross_run_{args.which}.json"
     path.write_text(json.dumps(out, indent=1))
