@@ -328,7 +328,7 @@ def bench_spmm_isolated(data, impl: str) -> dict:
     import jax
     import jax.numpy as jnp
 
-    from tmgcn_tpu.utils.profiling import measure, spmm_cost
+    from tmgcn_tpu.utils.profiling import measure, spmm_cost, spmm_gather_bound
 
     Ct = data.adj["train"]
     T, N, F = Ct.n_slices, Ct.n_nodes, 6
@@ -358,7 +358,11 @@ def bench_spmm_isolated(data, impl: str) -> dict:
     cost = spmm_cost(nnz, T * N, F)
     return {
         "mnnz_per_s": round(nnz / dt / 1e6, 1),
+        # Idealized byte-count roofline (unreachable at small F: the HBM
+        # moves a 4 kB tile per randomly gathered row)...
         "roofline_frac": round(cost.roofline_fraction(dt), 3),
+        # ...vs the tile-amplified gather bound, the honest target.
+        "gather_bound_frac": round(spmm_gather_bound(nnz) / dt, 3),
     }
 
 

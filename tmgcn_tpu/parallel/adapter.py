@@ -50,6 +50,7 @@ from tmgcn_tpu.models.tmgcn import TMGCN, TMGCN2
 from tmgcn_tpu.parallel.halo import banded_m_transform_local, local_banded_m
 from tmgcn_tpu.parallel.mesh import GRAPH_AXIS, TIME_AXIS
 from tmgcn_tpu.parallel.partition import partition_rows, pad_time
+from tmgcn_tpu.parallel.tmgcn_sharded import readout_partitioned
 from tmgcn_tpu.tasks.adapters import ModelAdapter
 
 WINDOWS = ("train", "val", "test")
@@ -131,27 +132,6 @@ def _make_propagate(mesh: Mesh, sc: _ShardCfg):
     )
 
 
-def _readout_partitioned(flat, edges_b, mask, U, n_local_rows, t_axis_width):
-    """Owner-computes split-U readout on this shard's row block.
-
-    flat: (T_loc * N_loc, F) this shard's embedding rows.
-    edges_b: (3, Eb) this time shard's edges, local slice ids.
-    Returns (Eb, C) logits, summed over the graph axis.
-    """
-    F = flat.shape[-1]
-    g_idx = jax.lax.axis_index(GRAPH_AXIS)
-    n0 = g_idx * n_local_rows
-
-    def side(nodes, Upart):
-        own = mask & (nodes >= n0) & (nodes < n0 + n_local_rows)
-        idx = jnp.where(own, edges_b[0] * n_local_rows + (nodes - n0), 0)
-        rows = jnp.where(own[:, None], flat[idx], jnp.zeros((), flat.dtype))
-        return rows @ Upart
-
-    part = side(edges_b[1], U[:F]) + side(edges_b[2], U[F:])
-    return jax.lax.psum(part, GRAPH_AXIS)
-
-
 def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
     """shard_map'd per-step forward: cached AtXt shard -> bucket logits."""
 
@@ -174,9 +154,7 @@ def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
             Y_loc = jnp.matmul(Z.astype(dtype), params["W2"].astype(dtype))
         T_loc, N_loc, F = Y_loc.shape
         flat = Y_loc.reshape(T_loc * N_loc, F)
-        return _readout_partitioned(flat, edges_b, mask, U, sc.n_local_rows, T_loc)[
-            None
-        ]
+        return readout_partitioned(flat, edges_b, mask, U, sc.n_local_rows)[None]
 
     spec_A = P(TIME_AXIS, GRAPH_AXIS, None)
     return shard_map(

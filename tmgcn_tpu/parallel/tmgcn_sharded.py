@@ -20,6 +20,12 @@ later optimization):
 
 Params and M are replicated; gradient psum is inserted by shard_map's
 transpose automatically.
+
+The v1 all-gather readout above is the readability/parity baseline; the
+production path (``make_sharded_train_step_halo`` and
+``parallel/adapter.py``) uses :func:`readout_partitioned` — owner-
+computes partial logits + one (Eb, C) psum over ``graph`` — so no shard
+materializes the full edge set or embedding tensor.
 """
 
 from __future__ import annotations
@@ -168,6 +174,37 @@ def partition_edges_by_time(
     return edges_sh, targets_sh, mask_sh
 
 
+def readout_partitioned(flat, edges_b, mask, U, n_local_rows):
+    """Owner-computes split-U edge readout on this shard's row block.
+
+    Each graph shard scores only the edge endpoints whose node rows it
+    owns (masked local gather); one ``psum`` of the (Eb, C) partial
+    logits over ``graph`` assembles the full logits — no shard ever
+    all-gathers the embedding tensor or materializes remote rows.
+
+    Args:
+        flat: (T_loc * N_loc, F) this shard's embedding rows.
+        edges_b: (3, Eb) this time shard's edges — local slice ids,
+            global node ids.
+        mask: (Eb,) valid-edge mask (padding excluded).
+        U: (2F, C) split readout weights (reference concat convention).
+    Returns:
+        (Eb, C) logits, identical on every graph shard.
+    """
+    F = flat.shape[-1]
+    g_idx = jax.lax.axis_index(GRAPH_AXIS)
+    n0 = g_idx * n_local_rows
+
+    def side(nodes, Upart):
+        own = mask & (nodes >= n0) & (nodes < n0 + n_local_rows)
+        idx = jnp.where(own, edges_b[0] * n_local_rows + (nodes - n0), 0)
+        rows = jnp.where(own[:, None], flat[idx], jnp.zeros((), flat.dtype))
+        return rows @ Upart
+
+    part = side(edges_b[1], U[:F]) + side(edges_b[2], U[F:])
+    return jax.lax.psum(part, GRAPH_AXIS)
+
+
 def make_sharded_train_step_halo(
     mesh: Mesh,
     n_local_rows: int,
@@ -175,13 +212,14 @@ def make_sharded_train_step_halo(
     m_blocks: np.ndarray,
     halo: int,
 ):
-    """Optimized sharded step: banded halo exchange + time-local edges.
+    """Optimized sharded step: banded halo exchange + partitioned edges.
 
     vs the v1 step: the M-transform moves only (halo, N, F) between
-    time-neighbors (ppermute) instead of all-gathering X, and each time
-    shard scores only its own edges — the loss reduces with one psum of
-    two scalars. Embeddings are still all-gathered along ``graph`` for
-    the readout (they are F-wide and small).
+    time-neighbors (ppermute) instead of all-gathering X; each time
+    shard scores only its own edges; and the readout is owner-computes —
+    one psum of (Eb, C) partial logits over ``graph`` instead of
+    all-gathering the (T_loc, N, F1) embeddings. The loss reduces with
+    one psum of two scalars over ``time``.
 
     Args:
         m_blocks: (n_time, T_loc, T_loc+halo) from halo.local_banded_m.
@@ -200,14 +238,11 @@ def make_sharded_train_step_halo(
         )
         Y_loc = jnp.matmul(Y_loc, W.astype(Y_loc.dtype))
 
-        # Readout needs all node rows of this shard's slices only.
-        Y_rows = jax.lax.all_gather(Y_loc, GRAPH_AXIS, axis=1, tiled=True)
-        T_loc, n_pad, F1 = Y_rows.shape
-        flat = Y_rows.reshape(T_loc * n_pad, F1)
-        src = flat[edges[0] * n_pad + edges[1]]
-        trg = flat[edges[0] * n_pad + edges[2]]
-        U = U.astype(flat.dtype)
-        logits = src @ U[:F1] + trg @ U[F1:]
+        T_loc, N_loc, F1 = Y_loc.shape
+        flat = Y_loc.reshape(T_loc * N_loc, F1)
+        logits = readout_partitioned(
+            flat, edges, mask, U.astype(flat.dtype), n_local_rows
+        )
 
         logp = jax.nn.log_softmax(logits, axis=-1)
         nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]

@@ -36,6 +36,20 @@ class OpCost:
         return self.roofline_seconds(**kw) / measured_seconds
 
 
+def spmm_gather_bound(nnz: int, tile_bytes: int = 4096,
+                      peak_bw: float = PEAK_HBM_BYTES) -> float:
+    """Seconds floor for gather-based SpMM with random column access.
+
+    TPU HBM moves (8, 128)-tiled data: fetching one feature row by a
+    random index costs a whole ~4 kB tile regardless of F or dtype
+    (measured: tools/kernel_probe.py gather_only ~3.9 ns/row at both f32
+    and bf16). Any SpMM built on a per-nonzero gather is bounded by one
+    tile per nonzero — the honest roofline when columns lack tile
+    locality; `spmm_cost` is the idealized (unreachable) byte count.
+    """
+    return nnz * tile_bytes / peak_bw
+
+
 def spmm_cost(nnz: int, n_rows: int, feat: int, dtype_bytes: int = 4) -> OpCost:
     """Gather/scale/segment-reduce SpMM: 2*nnz*F FLOPs.
 

@@ -44,7 +44,7 @@ def main() -> int:
 
     from tmgcn_tpu.core.sparse import TemporalCOO
     from tmgcn_tpu.kernels.spmm_pallas import make_operator, windowed_segment_matmul
-    from tmgcn_tpu.utils.profiling import measure, spmm_cost
+    from tmgcn_tpu.utils.profiling import measure, spmm_cost, spmm_gather_bound
 
     T, N, F = 16, 8192, args.feat
     nnz_slice = args.nnz // T
@@ -62,6 +62,7 @@ def main() -> int:
     )
     cost = spmm_cost(nnz, T * N, F)
     floor_s = cost.hbm_bytes / (HBM_GBPS * 1e9)
+    gbound_s = spmm_gather_bound(nnz)
 
     out = {
         "nnz": nnz,
@@ -70,6 +71,7 @@ def main() -> int:
         "F": F,
         "roofline_bytes": cost.hbm_bytes,
         "roofline_mnnz_per_s": round(nnz / floor_s / 1e6, 1),
+        "gather_bound_mnnz_per_s": round(nnz / gbound_s / 1e6, 1),
         "variants": {},
     }
 
@@ -80,10 +82,12 @@ def main() -> int:
             "ms": round(dt * 1e3, 3),
             "mnnz_per_s": round(mnnz, 1),
             "roofline_frac": round(dt and (floor_s / dt), 3),
+            "gather_bound_frac": round(gbound_s / dt, 3),
         }
         print(
             f"{name:28s} {dt * 1e3:8.3f} ms  {mnnz:8.1f} Mnnz/s  "
-            f"{100 * floor_s / dt:5.1f}% roofline",
+            f"{100 * floor_s / dt:5.1f}% ideal  {100 * gbound_s / dt:5.1f}% "
+            "gather-bound",
             flush=True,
         )
 
