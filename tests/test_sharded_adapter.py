@@ -129,3 +129,100 @@ class TestTrainingLoop:
 
         np.testing.assert_allclose(res_sh[:, 3], res_ref[:, 3], rtol=1e-4)
         np.testing.assert_allclose(res_sh[:, 7], res_ref[:, 7], rtol=1e-3)
+
+
+def _graph_mesh(n_graph):
+    return make_mesh(n_graph, 1, devices=jax.devices()[: n_graph])
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1), (4, 1)])
+class TestRecurrentForwardParity:
+    def test_wdgcn(self, problem, mesh_shape):
+        from tmgcn_tpu.models.wdgcn import WDGCN
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = WDGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 2))
+        ref = make_edge_adapter(model, adj, feats, edict)
+        mesh = _graph_mesh(mesh_shape[0])
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, None, mesh)
+        variables = ref.init(jax.random.PRNGKey(0))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(sh.init(jax.random.PRNGKey(0)), sh.bundles["train"], ())
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+
+    def test_evolvegcn1(self, problem, mesh_shape):
+        from tmgcn_tpu.models.evolvegcn import EvolveGCN
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = EvolveGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(4, 2))
+        ref = make_edge_adapter(model, adj, feats, edict)
+        mesh = _graph_mesh(mesh_shape[0])
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, None, mesh)
+        variables = ref.init(jax.random.PRNGKey(1))
+        out_ref, fin_ref = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, fin_sh = sh.apply(
+            jax.device_put(variables), sh.bundles["train"], ()
+        )
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+        # Evolved final weights (the train->val carry) match too.
+        np.testing.assert_allclose(
+            np.asarray(fin_sh[0]), np.asarray(fin_ref[0]), atol=2e-5
+        )
+
+    def test_evolvegcn2(self, problem, mesh_shape):
+        from tmgcn_tpu.models.evolvegcn import EvolveGCN
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = EvolveGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(4, 5, 2))
+        ref = make_edge_adapter(model, adj, feats, edict)
+        mesh = _graph_mesh(mesh_shape[0])
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, None, mesh)
+        variables = ref.init(jax.random.PRNGKey(2))
+        out_ref, fin_ref = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, fin_sh = sh.apply(variables, sh.bundles["train"], ())
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+        np.testing.assert_allclose(
+            np.asarray(fin_sh[1]), np.asarray(fin_ref[1]), atol=2e-5
+        )
+
+    def test_time_sharding_rejected(self, problem, mesh_shape):
+        from tmgcn_tpu.models.wdgcn import WDGCN
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = WDGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 2))
+        mesh = make_mesh(2, 4)
+        with pytest.raises(NotImplementedError):
+            make_sharded_edge_adapter(model, adj, feats, edict, None, mesh)
+
+
+class TestRecurrentTrainingLoop:
+    def test_evolvegcn_losses_match(self, problem):
+        """EvolveGCN cls loop sharded over graph matches single-device,
+        including the evolved-weight carry threading train->val->test."""
+        from tmgcn_tpu.models.evolvegcn import EvolveGCN
+        from tmgcn_tpu.tasks.windows import EdgeSplit
+        from tmgcn_tpu.train.loop import TrainConfig, run_edge_classification
+
+        A, M, X, edges, adj, feats, edict = problem
+        rng = np.random.default_rng(7)
+        tgt = rng.integers(0, 2, edges.shape[1])
+        splits = {
+            w: EdgeSplit(
+                edges=edges, target=tgt, eval_mask=np.ones(edges.shape[1], bool)
+            )
+            for w in ("train", "val", "test")
+        }
+        model = EvolveGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(4, 2))
+        cfg = TrainConfig(n_epochs=4, eval_every=2, lr=1e-3)
+        cw = np.array([0.6, 0.4])
+        key = jax.random.PRNGKey(11)
+
+        ref = make_edge_adapter(model, adj, feats, edict)
+        res_ref, _ = run_edge_classification(ref, splits, cw, cfg, key=key)
+
+        mesh = make_mesh(8, 1)
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, None, mesh)
+        res_sh, _ = run_edge_classification(sh, splits, cw, cfg, key=key)
+
+        np.testing.assert_allclose(res_sh[:, 3], res_ref[:, 3], rtol=1e-4)
+        np.testing.assert_allclose(res_sh[:, 7], res_ref[:, 7], rtol=1e-3)

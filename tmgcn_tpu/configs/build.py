@@ -344,9 +344,9 @@ def _make_adapter(cfg, model, data, splits_edges, mesh_shape, drop_last_slice=Fa
             model, data.adj, data.feats, splits_edges, M=M,
             drop_last_slice=drop_last_slice,
         )
-    if cfg.method != "tmgcn":
+    if cfg.method not in ("tmgcn", "evolvegcn", "wdgcn"):
         raise NotImplementedError(
-            f"--mesh currently supports TM-GCN models, not {cfg.method!r}"
+            f"--mesh supports tmgcn/evolvegcn/wdgcn models, not {cfg.method!r}"
         )
     from tmgcn_tpu.parallel.adapter import make_sharded_edge_adapter
     from tmgcn_tpu.parallel.mesh import make_mesh

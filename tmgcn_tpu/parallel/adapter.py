@@ -46,7 +46,9 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from tmgcn_tpu.core.mmatrix import band_offsets
 from tmgcn_tpu.core.sparse import TemporalCOO
 from tmgcn_tpu.models.common import nonlinearity
+from tmgcn_tpu.models.evolvegcn import EvolveGCN
 from tmgcn_tpu.models.tmgcn import TMGCN, TMGCN2
+from tmgcn_tpu.models.wdgcn import WDGCN
 from tmgcn_tpu.parallel.halo import banded_m_transform_local, local_banded_m
 from tmgcn_tpu.parallel.mesh import GRAPH_AXIS, TIME_AXIS
 from tmgcn_tpu.parallel.partition import partition_rows, pad_time
@@ -181,11 +183,18 @@ def make_sharded_edge_adapter(
     mesh: Mesh,
     drop_last_slice: bool = False,
 ) -> ModelAdapter:
-    """Sharded drop-in for tasks.adapters.make_edge_adapter (TM-GCN).
+    """Sharded drop-in for tasks.adapters.make_edge_adapter.
 
     Supports TMGCN and TMGCN2 (condensed_W, use_Minv=False, default
-    second-layer path — the configurations every reference driver uses).
+    second-layer path — the configurations every reference driver uses)
+    over a (graph x time) mesh, and the recurrent families (EvolveGCN,
+    WD-GCN) over the graph axis (their time recurrence is sequential;
+    require n_time == 1).
     """
+    if isinstance(model, (EvolveGCN, WDGCN)):
+        return _make_recurrent_sharded_adapter(
+            model, adj, feats, edges, mesh, drop_last_slice
+        )
     if isinstance(model, TMGCN2):
         if model.use_Minv or model.apply_M_twice or not model.condensed_W:
             raise NotImplementedError(
@@ -287,3 +296,236 @@ def make_sharded_edge_adapter(
         return jax.device_put(variables, repl)
 
     return ModelAdapter(init, apply, bundles, lambda variables: ())
+
+# ---------------------------------------------------------------------------
+# Recurrent families (EvolveGCN, WD-GCN): graph-axis sharding.
+#
+# The time recurrence (weight-evolving GRU / per-node LSTM) is sequential,
+# so these shard over ``graph`` only (n_time must be 1). Features X are
+# tiny (degree features, F0 <= 6) and stay replicated; the cached A@X, the
+# (T, N, F1) embeddings — the big tensors — and the edge readout are
+# sharded. Per-step communication: none for WD-GCN (the LSTM is node-
+# local) and none for 1-layer EvolveGCN (the GRU input summarize(X_t) is
+# computed redundantly from the replicated X, so the evolved weights stay
+# replicated without a collective); 2-layer EvolveGCN all-gathers the
+# (N, F1) hidden layer once per step for its parameter-dependent SpMM.
+# Capability reference: evolvegcn_functions.py:22-213,
+# wd_gcn_functions.py:21-98 (single-process CPU in the reference).
+# ---------------------------------------------------------------------------
+
+
+def _make_recurrent_propagate(mesh: Mesh, n_local_rows: int):
+    """shard_map'd per-slice AX = A @ X: X replicated, rows local."""
+
+    def local(rows, cols, vals, X):
+        rows, cols, vals = rows[:, 0], cols[:, 0], vals[:, 0]
+        return jax.vmap(
+            lambda r, c, v, x: _local_spmm(r, c, v, x, n_local_rows)
+        )(rows, cols, vals, X)
+
+    spec_A = P(None, GRAPH_AXIS, None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec_A, spec_A, spec_A, P()),
+        out_specs=P(None, GRAPH_AXIS, None),
+        check_vma=False,
+    )
+
+
+def _make_wdgcn_forward(mesh: Mesh, n_local_rows: int, model):
+    from tmgcn_tpu.models.wdgcn import lstm_scan
+
+    def local(params, buffers, AX_loc, edges_b, mask):
+        edges_b, mask = edges_b[0], mask[0]
+        AX = AX_loc.astype(model.dtype)  # reference f32 buffer truncation
+        Y = jax.nn.relu(jnp.matmul(AX, params["W"].astype(AX.dtype)))
+        Z = lstm_scan(params["lstm"], buffers["h_init"], buffers["c_init"], Y)
+        T_loc, N_loc, F1 = Z.shape
+        flat = Z.reshape(T_loc * N_loc, F1)
+        U = buffers["U"].astype(flat.dtype)  # frozen, never trained
+        return readout_partitioned(flat, edges_b, mask, U, n_local_rows)[None]
+
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),  # params
+            P(),  # buffers
+            P(None, GRAPH_AXIS, None),  # cached AX
+            P(TIME_AXIS, None, None),  # edge buckets (n_time=1)
+            P(TIME_AXIS, None),
+        ),
+        out_specs=P(TIME_AXIS, None, None),
+        check_vma=False,
+    )
+
+
+def _make_evolvegcn_forward(mesh: Mesh, n_local_rows: int, model):
+    from tmgcn_tpu.models.evolvegcn import _evolve_step
+
+    n_layers = model.n_layers
+
+    def local(params, W0s, rows, cols, vals, AX_loc, X_full, edges_b, mask):
+        rows, cols, vals = rows[:, 0], cols[:, 0], vals[:, 0]
+        edges_b, mask = edges_b[0], mask[0]
+
+        if n_layers == 1:
+
+            def step(W, xs):
+                ax, x = xs
+                W = _evolve_step(params["cell1"], W, x)
+                h = jnp.matmul(ax, W)
+                return W, h.astype(model.store_dtype)
+
+            W_fin, Y = jax.lax.scan(step, W0s[0], (AX_loc, X_full))
+            finals = (W_fin,)
+        else:
+            n_real = X_full.shape[1]
+
+            def step2(carry, xs):
+                W, W2 = carry
+                r, c, v, ax, x = xs
+                W = _evolve_step(params["cell1"], W, x)
+                h_loc = jax.nn.relu(jnp.matmul(ax, W))  # (N_loc, F1)
+                # Layer-2 SpMM gathers full-graph rows; the GRU-2 summary
+                # reads the full hidden matrix — one all-gather per step.
+                h_full = jax.lax.all_gather(h_loc, GRAPH_AXIS, axis=0, tiled=True)
+                W2 = _evolve_step(params["cell2"], W2, h_full[:n_real])
+                h2 = jnp.matmul(
+                    _local_spmm(r, c, v, h_full, n_local_rows), W2
+                )
+                return (W, W2), h2.astype(model.store_dtype)
+
+            (W_fin, W2_fin), Y = jax.lax.scan(
+                step2, (W0s[0], W0s[1]), (rows, cols, vals, AX_loc, X_full)
+            )
+            finals = (W_fin, W2_fin)
+
+        T_loc, N_loc, F = Y.shape
+        flat = Y.reshape(T_loc * N_loc, F)
+        U = params["U"].astype(flat.dtype)
+        logits = readout_partitioned(flat, edges_b, mask, U, n_local_rows)
+        return logits[None], finals
+
+    spec_A = P(None, GRAPH_AXIS, None)
+    return shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(
+            P(),  # params
+            P(),  # W inits (carry)
+            spec_A, spec_A, spec_A,  # sharded adjacency
+            P(None, GRAPH_AXIS, None),  # cached AX
+            P(),  # X replicated (summarize reads full rows)
+            P(TIME_AXIS, None, None),  # edge buckets (n_time=1)
+            P(TIME_AXIS, None),
+        ),
+        out_specs=(P(TIME_AXIS, None, None), P()),
+        check_vma=False,
+    )
+
+
+def _make_recurrent_sharded_adapter(
+    model,
+    adj: dict[str, TemporalCOO],
+    feats: dict[str, np.ndarray],
+    edges: dict[str, np.ndarray],
+    mesh: Mesh,
+    drop_last_slice: bool,
+) -> ModelAdapter:
+    n_graph = mesh.shape[GRAPH_AXIS]
+    n_time = mesh.shape[TIME_AXIS]
+    if n_time != 1:
+        raise NotImplementedError(
+            "EvolveGCN/WD-GCN recur over time; shard over graph only "
+            f"(--mesh {n_graph * n_time}x1), got n_time={n_time}"
+        )
+    if isinstance(model, EvolveGCN) and model.n_layers not in (1, 2):
+        raise NotImplementedError("sharded EvolveGCN supports 1 or 2 layers")
+
+    bundles = {}
+    n_local_rows = None
+    for w in WINDOWS:
+        A, X = adj[w], np.asarray(feats[w])
+        if drop_last_slice:
+            A = A.slice_window(0, A.n_slices - 1)
+            X = X[:-1]
+        T = A.n_slices
+        A_sh = partition_rows(A, n_graph)
+        if w == "train":
+            n_local_rows = A_sh.n_local_rows
+        e_b, e_mask, e_pos = bucket_edges_by_time(edges[w], T, 1)
+
+        put = jax.device_put
+        spec_A = NamedSharding(mesh, P(None, GRAPH_AXIS, None))
+        spec_T = NamedSharding(mesh, P(TIME_AXIS, None, None))
+        repl = NamedSharding(mesh, P())
+        bundles[w] = {
+            "rows": put(jnp.asarray(A_sh.rows), spec_A),
+            "cols": put(jnp.asarray(A_sh.cols), spec_A),
+            # Native dtypes, matching _prepare_bundles: the GRU/LSTM scan
+            # carries f32 weights, so promoting X would break the carry.
+            "vals": put(jnp.asarray(A_sh.vals), spec_A),
+            "X": put(jnp.asarray(X), repl),
+            "edges_b": put(jnp.asarray(e_b), spec_T),
+            "mask": put(jnp.asarray(e_mask), NamedSharding(mesh, P(TIME_AXIS, None))),
+            "pos": put(jnp.asarray(e_pos), repl),
+            "n_edges": int(np.asarray(edges[w]).shape[1]),
+        }
+
+    propagate = _make_recurrent_propagate(mesh, n_local_rows)
+    jit_prop = jax.jit(propagate)
+    for b in bundles.values():
+        # Parameter-independent A@X, cached sharded (the single-device
+        # adapters cache the same — evolvegcn_functions.py:97-101,
+        # wd_gcn_functions.py:33).
+        b["cached_ax"] = jit_prop(b["rows"], b["cols"], b["vals"], b["X"])
+
+    def init(key):
+        return jax.device_put(model.init(key), NamedSharding(mesh, P()))
+
+    if isinstance(model, WDGCN):
+        fwd = _make_wdgcn_forward(mesh, n_local_rows, model)
+
+        def apply(variables, bundle, carry):
+            stacked = fwd(
+                variables["params"],
+                variables["buffers"],
+                bundle["cached_ax"],
+                bundle["edges_b"],
+                bundle["mask"],
+            )
+            return stacked.reshape(-1, stacked.shape[-1])[bundle["pos"]], carry
+
+        return ModelAdapter(init, apply, bundles, lambda variables: ())
+
+    fwd = _make_evolvegcn_forward(mesh, n_local_rows, model)
+
+    def apply(variables, bundle, carry):
+        if carry:
+            inits = carry
+        elif model.n_layers == 2:
+            inits = (variables["buffers"]["W_init1"], variables["buffers"]["W_init2"])
+        else:
+            inits = (variables["buffers"]["W_init1"],)
+        stacked, finals = fwd(
+            variables["params"],
+            inits,
+            bundle["rows"],
+            bundle["cols"],
+            bundle["vals"],
+            bundle["cached_ax"],
+            bundle["X"],
+            bundle["edges_b"],
+            bundle["mask"],
+        )
+        return stacked.reshape(-1, stacked.shape[-1])[bundle["pos"]], finals
+
+    def initial_carry(variables):
+        b = variables["buffers"]
+        if model.n_layers == 2:
+            return (b["W_init1"], b["W_init2"])
+        return (b["W_init1"],)
+
+    return ModelAdapter(init, apply, bundles, initial_carry)

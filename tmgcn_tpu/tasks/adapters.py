@@ -74,9 +74,15 @@ def _build_restricted_layer2(
     endpoints, so the per-epoch layer-2 SpMM A ⊛ Y only needs the output
     rows in that endpoint set — on chess that is ~14% of the nonzeros
     (the reference computes all N rows every epoch,
-    embedding_help_functions.py:301-312,348-349). Host-side: build a
-    rectangular (endpoints x T*N) operator plus per-edge compact
-    indices; the readout then gathers straight from compact rows.
+    embedding_help_functions.py:301-312,348-349). BOTH index spaces are
+    compacted host-side: outputs to the unique endpoint rows (~3.5% of
+    T*N on chess) and inputs to their unique in-neighbors (~15%), so the
+    per-epoch gathers, segment reductions AND the layer-1 matmul touch
+    only small dense matrices — layer-1 runs on `l2_Hin` (the cached
+    propagation gathered once at build time at the used rows; rows
+    outside the in-neighborhood have zero cotangent, so dW1 is
+    unchanged). The epoch-time operator is rectangular
+    (endpoints x used); the readout gathers straight from compact rows.
     """
     from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream, make_flat_operator
 
@@ -91,11 +97,17 @@ def _build_restricted_layer2(
     idx = np.searchsorted(uniq, g_rows)
     idx = np.minimum(idx, len(uniq) - 1)
     member = uniq[idx] == g_rows
+    used = np.unique(g_cols[member])
     op = make_flat_operator(
-        idx[member], g_cols[member], g_vals[member],
-        n_in=T * N, n_out=len(uniq), k=4,
+        idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
+        n_in=len(used), n_out=len(uniq), k=4,
     )
     bundle["l2op"] = jax.device_put(op)
+    # One build-time device gather: the cached propagation at used rows.
+    F0 = bundle["cached"].shape[-1]
+    bundle["l2_Hin"] = bundle["cached"].reshape(T * N, F0)[
+        jnp.asarray(used, jnp.int32)
+    ]
     bundle["l2_src"] = jax.device_put(
         jnp.asarray(np.searchsorted(uniq, src_keys), jnp.int32)
     )
@@ -255,13 +267,12 @@ def make_edge_adapter(
             def apply(variables, bundle, carry):
                 p = variables["params"]
                 dtype = model.dtype
-                H = bundle["cached"].astype(dtype)
-                T, N, _ = H.shape
+                H = bundle["l2_Hin"].astype(dtype)  # (n_used, F0) compact
                 Y = jnp.matmul(H, p["W1"].astype(H.dtype))
                 Y = nonlinearity(model.nonlin2)(Y)
                 if model.interlayer_dtype is not None:
                     Y = Y.astype(model.interlayer_dtype)
-                Zc = bundle["l2op"](Y.reshape(T * N, -1)).astype(dtype)
+                Zc = bundle["l2op"](Y).astype(dtype)
                 Zc = jnp.matmul(Zc, p["W2"].astype(dtype)).astype(dtype)
                 F2 = Zc.shape[-1]
                 U = p["U"].astype(dtype)
