@@ -226,3 +226,84 @@ class TestRecurrentTrainingLoop:
 
         np.testing.assert_allclose(res_sh[:, 3], res_ref[:, 3], rtol=1e-4)
         np.testing.assert_allclose(res_sh[:, 7], res_ref[:, 7], rtol=1e-3)
+
+
+class TestRegressionParity:
+    """Sharded regression adapters vs tasks.adapters.make_regression_adapter."""
+
+    @pytest.mark.parametrize("mesh_shape", [(4, 2), (2, 4), (8, 1)])
+    def test_tmgcn_reg(self, problem, mesh_shape):
+        from tmgcn_tpu.models.tmgcn import TMGCNReg
+        from tmgcn_tpu.parallel.adapter import make_sharded_regression_adapter
+        from tmgcn_tpu.tasks.adapters import make_regression_adapter
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = TMGCNReg(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 1))
+        ref = make_regression_adapter(model, adj, feats, M=M)
+        sh = make_sharded_regression_adapter(
+            model, adj, feats, M, make_mesh(*mesh_shape)
+        )
+        variables = ref.init(jax.random.PRNGKey(0))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(variables, sh.bundles["train"], ())
+        assert out_sh.shape == out_ref.shape == (A.n_slices, A.n_nodes)
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+
+    def test_evolvegcn_reg(self, problem):
+        from tmgcn_tpu.models.evolvegcn import EvolveGCNReg
+        from tmgcn_tpu.parallel.adapter import make_sharded_regression_adapter
+        from tmgcn_tpu.tasks.adapters import make_regression_adapter
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = EvolveGCNReg(n_slices=A.n_slices, in_feat=4, hidden_feat=(4, 1))
+        ref = make_regression_adapter(model, adj, feats)
+        sh = make_sharded_regression_adapter(
+            model, adj, feats, None, make_mesh(8, 1)
+        )
+        variables = ref.init(jax.random.PRNGKey(1))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(variables, sh.bundles["train"], ())
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+
+    def test_wdgcn_reg(self, problem):
+        from tmgcn_tpu.models.wdgcn import WDGCNReg
+        from tmgcn_tpu.parallel.adapter import make_sharded_regression_adapter
+        from tmgcn_tpu.tasks.adapters import make_regression_adapter
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = WDGCNReg(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 1))
+        ref = make_regression_adapter(model, adj, feats)
+        sh = make_sharded_regression_adapter(
+            model, adj, feats, None, make_mesh(8, 1)
+        )
+        variables = ref.init(jax.random.PRNGKey(2))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(variables, sh.bundles["train"], ())
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+
+    def test_regression_loop_losses_match(self, problem):
+        from tmgcn_tpu.models.tmgcn import TMGCNReg
+        from tmgcn_tpu.parallel.adapter import make_sharded_regression_adapter
+        from tmgcn_tpu.tasks.adapters import make_regression_adapter
+        from tmgcn_tpu.train.loop import TrainConfig, run_regression
+
+        A, M, X, edges, adj, feats, edict = problem
+        rng = np.random.default_rng(3)
+        targets = {
+            w: rng.standard_normal((A.n_slices, A.n_nodes)).astype(np.float32)
+            for w in ("train", "val", "test")
+        }
+        model = TMGCNReg(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 1))
+        cfg = TrainConfig(n_epochs=5, eval_every=2, lr=1e-3)
+        key = jax.random.PRNGKey(4)
+
+        ref = make_regression_adapter(model, adj, feats, M=M)
+        res_ref, _ = run_regression(ref, targets, cfg, key=key)
+
+        sh = make_sharded_regression_adapter(model, adj, feats, M, make_mesh(4, 2))
+        res_sh, _ = run_regression(sh, targets, cfg, key=key)
+
+        np.testing.assert_allclose(
+            res_sh["train_loss"], res_ref["train_loss"], rtol=1e-4
+        )
+        np.testing.assert_allclose(res_sh["val_l1"], res_ref["val_l1"], rtol=1e-3)

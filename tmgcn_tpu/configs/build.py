@@ -371,8 +371,9 @@ def run_experiment(
     """Run the full (trials x alpha) sweep of one experiment config.
 
     mesh_shape=(n_graph, n_time) runs training through the sharded
-    (graph x time) execution path (parallel/adapter.py) — TM-GCN
-    classification and link prediction.
+    (graph x time) execution path (parallel/adapter.py): TM-GCN cls/LP/
+    regression on the full mesh; EvolveGCN/WD-GCN (cls, LP, regression)
+    over the graph axis (n_time must be 1 — they recur over time).
 
     Returns {"results": {(trial, alpha): array}, "final": summary dict}.
     """
@@ -402,12 +403,20 @@ def run_experiment(
         return RunCheckpointer(Path(checkpoint_dir) / cfg.name / tag)
 
     if cfg.task == "regression":
-        if mesh_shape is not None:
-            raise NotImplementedError("--mesh supports edge_cls / link_pred tasks")
         model = build_model(cfg, data.spec.s_train, in_feat)
-        adapter = make_regression_adapter(
-            model, data.adj, data.feats, M=data.M if cfg.method != "gcn" else None
-        )
+        if mesh_shape is None:
+            adapter = make_regression_adapter(
+                model, data.adj, data.feats, M=data.M if cfg.method != "gcn" else None
+            )
+        else:
+            from tmgcn_tpu.parallel.adapter import make_sharded_regression_adapter
+            from tmgcn_tpu.parallel.mesh import make_mesh
+
+            adapter = make_sharded_regression_adapter(
+                model, data.adj, data.feats,
+                data.M if cfg.method == "tmgcn" else None,
+                make_mesh(*mesh_shape),
+            )
         for tr in range(cfg.n_trials):
             key, sub = jax.random.split(key)
             res, _ = run_regression(

@@ -98,6 +98,36 @@ def bucket_edges_by_time(
     return edges_b, mask, pos
 
 
+def _prepare_banded_window(A, X, Mw, mesh, n_graph, n_time, halo):
+    """Sharded per-window tensors for the banded TM-GCN propagation:
+    row-partitioned adjacency, time-sharded features and local M blocks.
+    Returns (bundle, T_pad)."""
+    T = A.n_slices
+    T_pad = _round_up(T, n_time)
+    if T_pad != T:
+        X = np.concatenate(
+            [X, np.zeros((T_pad - T,) + X.shape[1:], X.dtype)], axis=0
+        )
+        M_full = np.zeros((T_pad, T_pad), Mw.dtype)
+        M_full[:T, :T] = Mw
+        Mw = M_full
+    A_sh = pad_time(partition_rows(A, n_graph), n_time)
+    m_blocks = local_banded_m(Mw, n_time, halo)
+
+    dt = jnp.result_type(float)
+    put = jax.device_put
+    spec_A = NamedSharding(mesh, P(TIME_AXIS, GRAPH_AXIS, None))
+    spec_T = NamedSharding(mesh, P(TIME_AXIS, None, None))
+    bundle = {
+        "rows": put(jnp.asarray(A_sh.rows), spec_A),
+        "cols": put(jnp.asarray(A_sh.cols), spec_A),
+        "vals": put(jnp.asarray(A_sh.vals, dt), spec_A),
+        "X": put(jnp.asarray(X, dt), spec_T),
+        "m_blocks": put(jnp.asarray(m_blocks, dt), spec_T),
+    }
+    return bundle, T_pad
+
+
 @dataclasses.dataclass(frozen=True)
 class _ShardCfg:
     n_graph: int
@@ -226,34 +256,18 @@ def make_sharded_edge_adapter(
             A = A.slice_window(0, A.n_slices - 1)
             X = X[:-1]
             Mw = Mw[:-1, :-1]
-        T = A.n_slices
-        T_pad = _round_up(T, n_time)
-        if T_pad != T:
-            X = np.concatenate(
-                [X, np.zeros((T_pad - T,) + X.shape[1:], X.dtype)], axis=0
-            )
-            M_full = np.zeros((T_pad, T_pad), Mw.dtype)
-            M_full[:T, :T] = Mw
-            Mw = M_full
-        A_sh = pad_time(partition_rows(A, n_graph), n_time)
-        m_blocks = local_banded_m(Mw, n_time, halo)
+        bundle, T_pad = _prepare_banded_window(A, X, Mw, mesh, n_graph, n_time, halo)
         e_b, e_mask, e_pos = bucket_edges_by_time(edges[w], T_pad, n_time)
 
-        dt = jnp.result_type(float)
         put = jax.device_put
-        spec_A = NamedSharding(mesh, P(TIME_AXIS, GRAPH_AXIS, None))
         spec_T = NamedSharding(mesh, P(TIME_AXIS, None, None))
-        bundles[w] = {
-            "rows": put(jnp.asarray(A_sh.rows), spec_A),
-            "cols": put(jnp.asarray(A_sh.cols), spec_A),
-            "vals": put(jnp.asarray(A_sh.vals, dt), spec_A),
-            "X": put(jnp.asarray(X, dt), spec_T),
-            "m_blocks": put(jnp.asarray(m_blocks, dt), spec_T),
-            "edges_b": put(jnp.asarray(e_b), spec_T),
-            "mask": put(jnp.asarray(e_mask), NamedSharding(mesh, P(TIME_AXIS, None))),
-            "pos": put(jnp.asarray(e_pos), NamedSharding(mesh, P())),
-            "n_edges": int(np.asarray(edges[w]).shape[1]),
-        }
+        bundle.update(
+            edges_b=put(jnp.asarray(e_b), spec_T),
+            mask=put(jnp.asarray(e_mask), NamedSharding(mesh, P(TIME_AXIS, None))),
+            pos=put(jnp.asarray(e_pos), NamedSharding(mesh, P())),
+            n_edges=int(np.asarray(edges[w]).shape[1]),
+        )
+        bundles[w] = bundle
 
     sc = _ShardCfg(
         n_graph=n_graph,
@@ -529,3 +543,167 @@ def _make_recurrent_sharded_adapter(
         return (b["W_init1"],)
 
     return ModelAdapter(init, apply, bundles, initial_carry)
+
+
+# ---------------------------------------------------------------------------
+# Regression (SEIR task): (T, N) node-level output. TM-GCN shards over
+# (graph x time) exactly like classification — cached banded propagation,
+# per-epoch forward is node-local (matmul + linear head, no readout
+# collective at all). The recurrent regressors shard over graph. The
+# global (T, N) output is reassembled from the contiguous local row
+# blocks, so the unmodified run_regression loop (train/loop.py:325)
+# trains multi-chip. Capability reference: test_graph_SEIR.py:135-200,
+# embedding_help_functions.py:359-423 (single-process CPU).
+# ---------------------------------------------------------------------------
+
+
+def _window_shapes(adj: dict[str, TemporalCOO]) -> tuple[int, int]:
+    """(T, N), asserted identical across windows (same_block_size)."""
+    shapes = {(adj[w].n_slices, adj[w].n_nodes) for w in WINDOWS}
+    if len(shapes) != 1:
+        raise NotImplementedError(f"windows differ in shape: {sorted(shapes)}")
+    return shapes.pop()
+
+
+def make_sharded_regression_adapter(
+    model,
+    adj: dict[str, TemporalCOO],
+    feats: dict[str, np.ndarray],
+    M: np.ndarray | None,
+    mesh: Mesh,
+) -> ModelAdapter:
+    """Sharded drop-in for tasks.adapters.make_regression_adapter."""
+    from tmgcn_tpu.models.evolvegcn import EvolveGCNReg, _evolve_step
+    from tmgcn_tpu.models.tmgcn import TMGCNReg
+    from tmgcn_tpu.models.wdgcn import WDGCNReg, lstm_scan
+
+    n_graph = mesh.shape[GRAPH_AXIS]
+    n_time = mesh.shape[TIME_AXIS]
+    T, N = _window_shapes(adj)
+
+    def init(key):
+        return jax.device_put(model.init(key), NamedSharding(mesh, P()))
+
+    if isinstance(model, TMGCNReg):
+        if model.use_Minv or not model.condensed_W:
+            raise NotImplementedError(
+                "sharded TMGCNReg supports condensed_W without Minv"
+            )
+        M = np.asarray(M)
+        halo = band_offsets(M)[0]
+        bundles = {
+            w: _prepare_banded_window(
+                adj[w], np.asarray(feats[w]), M, mesh, n_graph, n_time, halo
+            )[0]
+            for w in WINDOWS
+        }
+        n_local = partition_rows(adj["train"], n_graph).n_local_rows
+        sc = _ShardCfg(n_graph, n_time, n_local, halo, 1, "relu", model.dtype)
+        jit_prop = jax.jit(_make_propagate(mesh, sc))
+        for b in bundles.values():
+            b["cached"] = jit_prop(
+                b["rows"], b["cols"], b["vals"], b["X"], b["m_blocks"]
+            )
+
+        def local(params, H_loc):
+            dtype = model.dtype
+            H = H_loc.astype(dtype)  # reference f32 buffer truncation
+            Y = jnp.matmul(H, params["W"].astype(dtype))
+            out = jnp.matmul(Y, params["lin_w"].astype(dtype))
+            return out[..., 0] + params["lin_b"].astype(dtype)[0]
+
+        fwd = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(TIME_AXIS, GRAPH_AXIS, None)),
+            out_specs=P(TIME_AXIS, GRAPH_AXIS),
+            check_vma=False,
+        )
+
+        def apply(variables, bundle, carry):
+            return fwd(variables["params"], bundle["cached"])[:T, :N], carry
+
+        return ModelAdapter(init, apply, bundles, lambda variables: ())
+
+    if not isinstance(model, (EvolveGCNReg, WDGCNReg)):
+        raise TypeError(f"unsupported regression model: {type(model).__name__}")
+    if n_time != 1:
+        raise NotImplementedError(
+            "EvolveGCNReg/WDGCNReg recur over time; shard over graph only "
+            f"(--mesh {n_graph * n_time}x1), got n_time={n_time}"
+        )
+
+    bundles = {}
+    n_local = None
+    for w in WINDOWS:
+        A, X = adj[w], np.asarray(feats[w])
+        A_sh = partition_rows(A, n_graph)
+        if w == "train":
+            n_local = A_sh.n_local_rows
+        put = jax.device_put
+        spec_A = NamedSharding(mesh, P(None, GRAPH_AXIS, None))
+        repl = NamedSharding(mesh, P())
+        bundles[w] = {
+            "rows": put(jnp.asarray(A_sh.rows), spec_A),
+            "cols": put(jnp.asarray(A_sh.cols), spec_A),
+            # Native dtypes — the f32 GRU/LSTM scan carry (see the edge
+            # adapter note above).
+            "vals": put(jnp.asarray(A_sh.vals), spec_A),
+            "X": put(jnp.asarray(X), repl),
+        }
+
+    jit_prop = jax.jit(_make_recurrent_propagate(mesh, n_local))
+    for b in bundles.values():
+        b["cached_ax"] = jit_prop(b["rows"], b["cols"], b["vals"], b["X"])
+
+    if isinstance(model, WDGCNReg):
+
+        def local(params, buffers, AX_loc):
+            AX = AX_loc.astype(model.dtype)
+            Y = jax.nn.relu(jnp.matmul(AX, params["W"].astype(AX.dtype)))
+            Z = lstm_scan(params["lstm"], buffers["h_init"], buffers["c_init"], Y)
+            out = jnp.matmul(Z, params["lin_w"].astype(Z.dtype))
+            return out[..., 0] + params["lin_b"].astype(Z.dtype)[0]
+
+        fwd = shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P(), P(), P(None, GRAPH_AXIS, None)),
+            out_specs=P(None, GRAPH_AXIS),
+            check_vma=False,
+        )
+
+        def apply(variables, bundle, carry):
+            out = fwd(variables["params"], variables["buffers"], bundle["cached_ax"])
+            return out[:, :N], carry
+
+        return ModelAdapter(init, apply, bundles, lambda variables: ())
+
+    # EvolveGCNReg: the GRU input summarize(X_t) reads replicated X, so
+    # the evolved weights stay replicated without a collective; the
+    # per-step GCONV uses the shard's cached A@X rows.
+    def local(params, W0, AX_loc, X_full):
+        def step(W, xs):
+            ax, x = xs
+            W = _evolve_step(params["cell1"], W, x)
+            h = jnp.matmul(ax, W)
+            return W, h.astype(model.store_dtype)
+
+        _, Y = jax.lax.scan(step, W0, (AX_loc, X_full))
+        out = jnp.matmul(Y, params["lin_w"].astype(Y.dtype))
+        return out[..., 0] + params["lin_b"].astype(Y.dtype)[0]
+
+    fwd = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(), P(None, GRAPH_AXIS, None), P()),
+        out_specs=P(None, GRAPH_AXIS),
+        check_vma=False,
+    )
+
+    def apply(variables, bundle, carry):
+        W0 = carry[0] if carry else variables["buffers"]["W_init1"]
+        out = fwd(variables["params"], W0, bundle["cached_ax"], bundle["X"])
+        return out[:, :N], carry
+
+    return ModelAdapter(init, apply, bundles, lambda variables: ())
