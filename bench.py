@@ -55,6 +55,123 @@ def prepare():
     return cfg, data, splits
 
 
+def prepare_lp():
+    """Chess link prediction: β=19 negatives per real edge, so the
+    per-epoch edge readout scores ~20x the classification edge count
+    (reference protocol: experiment_chess_our_link_prediction.py,
+    augment_edges embedding_help_functions.py:500-526)."""
+    from tmgcn_tpu.configs.build import build_data
+    from tmgcn_tpu.configs.presets import get_preset
+    from tmgcn_tpu.tasks.windows import split_data_link_prediction
+
+    cfg = get_preset("chess_tmgcn_lp")
+    data = build_data(cfg, data_dir="data/chess")
+    splits = split_data_link_prediction(data.lp_edges, data.lp_labels, data.spec)
+    return cfg, data, splits
+
+
+def bench_ours_lp(cfg, data, splits, n_timed=N_TIMED) -> tuple[float, int]:
+    """LP training epoch (drop-last-slice window, binary weighted CE)."""
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tmgcn_tpu.configs.build import build_model
+    from tmgcn_tpu.tasks.adapters import make_edge_adapter
+    from tmgcn_tpu.train.losses import weighted_cross_entropy
+
+    model = build_model(cfg, data.spec.s_train - 1, data.feats["train"].shape[-1])
+    adapter = make_edge_adapter(
+        model,
+        data.adj,
+        data.feats,
+        {w: splits[w].model_edges for w in ("train", "val", "test")},
+        M=data.M,
+        drop_last_slice=True,
+    )
+    variables = adapter.init(jax.random.PRNGKey(0))
+    params, buffers = variables["params"], variables["buffers"]
+    s = splits["train"]
+    tgt = jnp.asarray(s.target[s.edges[0] != 0])
+    cw = jnp.asarray(np.array([0.85, 0.15], dtype=np.float32))
+    opt = optax.sgd(cfg.lr, momentum=cfg.momentum)
+    opt_state = opt.init(params)
+
+    @partial(jax.jit, static_argnames="n_steps")
+    def train_chunk(params, opt_state, bundle, tgt, n_steps):
+        def body(carry, _):
+            params, opt_state = carry
+
+            def loss_fn(p):
+                out, _ = adapter.apply({"params": p, "buffers": buffers}, bundle, ())
+                return weighted_cross_entropy(out, tgt, cw)
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            updates, opt_state = opt.update(grads, opt_state)
+            return (optax.apply_updates(params, updates), opt_state), loss
+
+        (params, opt_state), losses = jax.lax.scan(
+            body, (params, opt_state), None, length=n_steps
+        )
+        return params, opt_state, losses
+
+    bundle = adapter.bundles["train"]
+    dt = _timed_epochs(
+        lambda n: train_chunk(params, opt_state, bundle, tgt, n)[2],
+        lambda losses: float(np.asarray(losses[-1])),
+        n_timed,
+    )
+    return dt, int(tgt.shape[0])
+
+
+def bench_torch_reference_lp(data, splits) -> float:
+    """Reference-equivalent LP training epoch in PyTorch on CPU: same
+    f32 1-layer pipeline as classification but on the drop-last-slice
+    window and the 20x augmented edge set (the reference's LP epoch,
+    experiment_bitcoin_our_link_prediction.py:82-97)."""
+    import torch as t
+
+    T = data.spec.s_train - 1
+    Ct = data.adj["train"].slice_window(0, T)
+    N = Ct.n_nodes
+    X = t.tensor(np.asarray(data.feats["train"])[:T], dtype=t.float64)
+    M = t.tensor(np.asarray(data.M)[:T, :T], dtype=t.float64)
+
+    rows, cols = np.asarray(Ct.rows), np.asarray(Ct.cols)
+    vals, nnz = np.asarray(Ct.vals, np.float64), np.asarray(Ct.nnz)
+    Xt = t.matmul(M, X.reshape(T, -1)).reshape(X.size())
+    AtXt = t.zeros(T, N, X.shape[-1])
+    for k in range(T):
+        n = int(nnz[k])
+        idx = t.tensor(np.stack([rows[k, :n], cols[k, :n]]), dtype=t.long)
+        A_k = t.sparse_coo_tensor(idx, t.tensor(vals[k, :n]), (N, N))
+        AtXt[k] = t.sparse.mm(A_k, Xt[k])
+
+    s = splits["train"]
+    m = s.edges[0] != 0
+    edges = t.tensor(s.model_edges, dtype=t.long)
+    target = t.tensor(s.target[m], dtype=t.long)
+    src = edges[0] * N + edges[1]
+    trg = edges[0] * N + edges[2]
+
+    W = t.randn(X.shape[-1], 6, requires_grad=True)
+    U = t.randn(12, 2, requires_grad=True)
+    opt = t.optim.SGD([W, U], lr=0.01, momentum=0.9)
+    crit = t.nn.CrossEntropyLoss(weight=t.tensor([0.85, 0.15]))
+
+    def epoch():
+        opt.zero_grad()
+        Y = t.matmul(AtXt, W).reshape(-1, 6)
+        out = t.cat((Y[src], Y[trg]), dim=1) @ U
+        loss = crit(out, target)
+        loss.backward()
+        opt.step()
+
+    return _torch_best_of_rounds(epoch)
+
+
 def bench_ours(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED) -> tuple[float, int]:
     """Returns (epoch_seconds, n_train_edges)."""
     import dataclasses
@@ -109,13 +226,11 @@ def bench_ours(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED) -> tuple[flo
         return params, opt_state, aux
 
     bundle = adapter.bundles["train"]
-    params, opt_state, aux = train_chunk(params, opt_state, bundle, tgt, n_timed)
-    jax.block_until_ready(aux)  # warmup + compile
-
-    t0 = time.perf_counter()
-    params, opt_state, aux = train_chunk(params, opt_state, bundle, tgt, n_timed)
-    _ = np.asarray(aux[0]), np.asarray(aux[1])
-    dt = (time.perf_counter() - t0) / n_timed
+    dt = _timed_epochs(
+        lambda n: train_chunk(params, opt_state, bundle, tgt, n)[2],
+        lambda aux: float(np.asarray(aux[0][-1])),
+        n_timed,
+    )
     return dt, int(splits["train"].target.shape[0])
 
 
@@ -154,6 +269,24 @@ def _torch_setup(data, splits):
     src = edges[0] * N + edges[1]
     trg = edges[0] * N + edges[2]
     return T, N, A_slices, AtXt, src, trg, target
+
+
+def _timed_epochs(run_chunk, fetch, n_timed, rounds=3):
+    """Best-of-rounds seconds/epoch for a jitted epoch chunk.
+
+    ``fetch(result)`` must force a device->host scalar read:
+    ``jax.block_until_ready`` does NOT block through the axon tunnel, so
+    without a post-warmup fetch the warmup chunk is still executing when
+    the timed window opens (measured: the same LP chunk 'varies'
+    0.4 -> 4.5 ms/epoch without this).
+    """
+    fetch(run_chunk(n_timed))  # compile + warm, then force completion
+    best = float("inf")
+    for _ in range(rounds):
+        t0 = time.perf_counter()
+        fetch(run_chunk(n_timed))
+        best = min(best, (time.perf_counter() - t0) / n_timed)
+    return best
 
 
 def _torch_best_of_rounds(epoch_fn, rounds=3, iters=N_TORCH):
@@ -241,12 +374,11 @@ def bench_ours2_full(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED2):
         return params, opt_state, aux
 
     args = (A_op, X, M, edges, cached, tgt)
-    params, opt_state, aux = train_chunk(params, opt_state, *args, n_timed)
-    jax.block_until_ready(aux)
-    t0 = time.perf_counter()
-    params, opt_state, aux = train_chunk(params, opt_state, *args, n_timed)
-    _ = np.asarray(aux[0]), np.asarray(aux[1])
-    return (time.perf_counter() - t0) / n_timed
+    return _timed_epochs(
+        lambda n: train_chunk(params, opt_state, *args, n)[2],
+        lambda aux: float(np.asarray(aux[0][-1])),
+        n_timed,
+    )
 
 
 def bench_torch_reference(data, splits) -> float:
@@ -394,6 +526,13 @@ def main() -> int:
     ref2_s = bench_torch_reference2(data, splits)
     stage(f"2-layer torch {ref2_s * 1e3:.2f} ms/epoch")
 
+    # --- LP epoch: the 20x-augmented edge readout is the hot op ---
+    cfg_lp, data_lp, splits_lp = prepare_lp()
+    lp_s, lp_edges = bench_ours_lp(cfg_lp, data_lp, splits_lp)
+    stage(f"LP {lp_s * 1e3:.2f} ms/epoch ({lp_edges} edges)")
+    ref_lp_s = bench_torch_reference_lp(data_lp, splits_lp)
+    stage(f"LP torch {ref_lp_s * 1e3:.2f} ms/epoch")
+
     # --- isolated SpMM roofline (layer-2 shape) ---
     spmm_stats = {}
     for impl in ("jnp", "rowsplit", "pallas", "pallas_bf16"):
@@ -409,6 +548,10 @@ def main() -> int:
         "two_layer_ms": round(two_s * 1e3, 3),
         "two_layer_torch_ms": round(ref2_s * 1e3, 2),
         "two_layer_vs_baseline": round(ref2_s / two_s, 2),
+        "lp_ms": round(lp_s * 1e3, 3),
+        "lp_torch_ms": round(ref_lp_s * 1e3, 2),
+        "lp_vs_baseline": round(ref_lp_s / lp_s, 2),
+        "lp_n_edges": lp_edges,
         "spmm_layer2_shape": spmm_stats,
         "one_layer_ms": round(ours_s * 1e3, 3),
         "one_layer_torch_ms": round(ref_s * 1e3, 2),

@@ -244,9 +244,12 @@ def make_sharded_train_step_halo(
             flat, edges, mask, U.astype(flat.dtype), n_local_rows
         )
 
+        # One-hot contractions, not take_along_axis — the TPU row-gather
+        # dominates the epoch otherwise (see train/losses.py).
         logp = jax.nn.log_softmax(logits, axis=-1)
-        nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
-        w = cw.astype(logits.dtype)[targets] * mask.astype(logits.dtype)
+        onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=logits.dtype)
+        nll = -jnp.sum(logp * onehot, axis=-1)
+        w = (onehot @ cw.astype(logits.dtype)) * mask.astype(logits.dtype)
         num = jax.lax.psum(jnp.sum(w * nll), TIME_AXIS)
         den = jax.lax.psum(jnp.sum(w), TIME_AXIS)
         return num / den

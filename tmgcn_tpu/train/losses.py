@@ -20,10 +20,18 @@ def weighted_cross_entropy(
     class_weights: jax.Array,
     mask: jax.Array | None = None,
 ) -> jax.Array:
-    """Torch-semantics weighted CE with mean reduction."""
+    """Torch-semantics weighted CE with mean reduction.
+
+    The per-row label lookups are one-hot contractions, not
+    ``take_along_axis``: on TPU the row-gather lowers to a form ~20x
+    slower than the whole rest of a 1-layer training epoch (measured
+    12.2 -> 0.67 ms/epoch at E=772k, C=2), while the one-hot product is
+    a fusible elementwise op over the tiny class axis.
+    """
     logp = jax.nn.log_softmax(logits, axis=-1)
-    nll = -jnp.take_along_axis(logp, targets[:, None], axis=-1)[:, 0]
-    w = class_weights.astype(logits.dtype)[targets]
+    onehot = jax.nn.one_hot(targets, logits.shape[-1], dtype=logits.dtype)
+    nll = -jnp.sum(logp * onehot, axis=-1)
+    w = onehot @ class_weights.astype(logits.dtype)
     if mask is not None:
         w = w * mask.astype(logits.dtype)
     return jnp.sum(w * nll) / jnp.sum(w)
