@@ -159,3 +159,48 @@ class TestSortCols:
         dX = jax.grad(lambda x: jnp.vdot(op(x), G))(X)
         dX_ref = jax.grad(lambda x: jnp.vdot(spmm(A, x), G))(X)
         np.testing.assert_allclose(np.asarray(dX), np.asarray(dX_ref), atol=1e-5)
+
+
+class TestFlatRectangular:
+    """The rectangular flat operator (restricted layer-2 path) vs dense."""
+
+    def test_forward_backward_vs_dense(self):
+        from tmgcn_tpu.kernels.spmm_pallas import make_flat_operator
+
+        rng = np.random.default_rng(11)
+        n_in, n_out, nnz, F = 210, 75, 600, 5
+        r = rng.integers(0, n_out, nnz)
+        c = rng.integers(0, n_in, nnz)
+        v = rng.standard_normal(nnz).astype(np.float32)
+        op = make_flat_operator(
+            r, c, v, n_in=n_in, n_out=n_out, chunk=64, window=64,
+            interpret=True, sort_cols=True,
+        )
+        X = jnp.asarray(rng.standard_normal((n_in, F)), jnp.float32)
+        dense = np.zeros((n_out, n_in), np.float32)
+        np.add.at(dense, (r, c), v)
+        np.testing.assert_allclose(
+            np.asarray(op(X)), dense @ np.asarray(X), atol=1e-4
+        )
+        G = jnp.asarray(rng.standard_normal((n_out, F)), jnp.float32)
+        dX = jax.grad(lambda x: jnp.vdot(op(x), G))(X)
+        np.testing.assert_allclose(
+            np.asarray(dX), dense.T @ np.asarray(G), atol=1e-4
+        )
+
+    def test_under_jit_as_argument(self):
+        from tmgcn_tpu.kernels.spmm_pallas import make_flat_operator
+
+        rng = np.random.default_rng(12)
+        n_in, n_out, nnz, F = 100, 40, 150, 3
+        r = rng.integers(0, n_out, nnz)
+        c = rng.integers(0, n_in, nnz)
+        v = rng.standard_normal(nnz).astype(np.float32)
+        op = make_flat_operator(
+            r, c, v, n_in=n_in, n_out=n_out, chunk=32, window=32, interpret=True
+        )
+        X = jnp.asarray(rng.standard_normal((n_in, F)), jnp.float32)
+        out = jax.jit(lambda o, x: o(x))(op, X)
+        dense = np.zeros((n_out, n_in), np.float32)
+        np.add.at(dense, (r, c), v)
+        np.testing.assert_allclose(np.asarray(out), dense @ np.asarray(X), atol=1e-4)

@@ -80,16 +80,8 @@ def pack_windowed(
 ) -> PackedSpmm:
     """Pack a temporal COO tensor for the kernel (host-side, once).
 
-    Flattens slices (global rows t*N + r, global cols t*N + c), then cuts
-    the row-sorted entry stream into chunks of ``chunk`` entries that
-    never cross a ``window``-aligned output boundary. Every window gets
-    at least one chunk so all output blocks are initialized.
-
-    sort_cols=True reorders entries within each output window by column
-    id. The one-hot scatter is order-invariant inside a window, but the
-    XLA gather of X rows costs one (8, 128) HBM tile per DISTINCT random
-    row — column-sorted chunks turn repeated/nearby columns (common in
-    graph-local, M-banded adjacency) into same-tile reads.
+    Flattens slices (global rows t*N + r, global cols t*N + c), then
+    packs the flat stream (see pack_windowed_flat).
     """
     rows_np = np.asarray(A.rows)
     cols_np = np.asarray(A.cols)
@@ -97,8 +89,6 @@ def pack_windowed(
     nnz_np = np.asarray(A.nnz)
     T = A.n_slices
     N = A.n_nodes
-    n_rows_out = ((T * N + window - 1) // window) * window
-    n_windows = n_rows_out // window
 
     # Global sorted entry stream.
     parts_r, parts_c, parts_v = [], [], []
@@ -110,6 +100,38 @@ def pack_windowed(
     g_rows = np.concatenate(parts_r) if parts_r else np.zeros(0, np.int64)
     g_cols = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
     g_vals = np.concatenate(parts_v) if parts_v else np.zeros(0, vals_np.dtype)
+    return pack_windowed_flat(g_rows, g_cols, g_vals, T * N, chunk, window, sort_cols)
+
+
+def pack_windowed_flat(
+    g_rows: np.ndarray,
+    g_cols: np.ndarray,
+    g_vals: np.ndarray,
+    n_out: int,
+    chunk: int = DEFAULT_CHUNK,
+    window: int = DEFAULT_WINDOW,
+    sort_cols: bool = False,
+) -> PackedSpmm:
+    """Pack a flat (row, col, val) entry stream for the kernel.
+
+    Rows must be sorted ascending and < n_out (the logical output row
+    count — possibly rectangular: cols index a DIFFERENT input space).
+    Cuts the stream into chunks of ``chunk`` entries that never cross a
+    ``window``-aligned output boundary. Every window gets at least one
+    chunk so all output blocks are initialized.
+
+    sort_cols=True reorders entries within each output window by column
+    id. The one-hot scatter is order-invariant inside a window, but the
+    XLA gather of X rows costs one (8, 128) HBM tile per DISTINCT random
+    row — column-sorted chunks turn repeated/nearby columns (common in
+    graph-local, M-banded adjacency) into same-tile reads.
+    """
+    g_rows = np.asarray(g_rows, np.int64)
+    g_cols = np.asarray(g_cols, np.int64)
+    g_vals = np.asarray(g_vals)
+    vals_np = g_vals
+    n_rows_out = ((n_out + window - 1) // window) * window
+    n_windows = n_rows_out // window
 
     if sort_cols and len(g_rows):
         # Stable (window, col) order: window ids stay monotonic (both
@@ -284,9 +306,9 @@ def windowed_segment_matmul(
     )
 
 
-def _spmm_packed_fwd_impl(T, N, fast, interpret, gather_dtype, packed, X):
-    F = X.shape[-1]
-    flat = X.reshape(T * N, F)
+def _flat_fwd_impl(n_out, fast, interpret, gather_dtype, packed, flat):
+    F = flat.shape[-1]
+    out_dtype = flat.dtype
     if gather_dtype is not None:
         # Cast BEFORE the gather: the random-row gather is the dominant
         # HBM traffic, so moving it in bf16 halves the bottleneck. The
@@ -300,9 +322,34 @@ def _spmm_packed_fwd_impl(T, N, fast, interpret, gather_dtype, packed, X):
         else jax.lax.Precision.HIGHEST
     )
     out = windowed_segment_matmul(
-        packed, gathered, precision, interpret, out_dtype=X.dtype
+        packed, gathered, precision, interpret, out_dtype=out_dtype
     )
-    return out[: T * N].reshape(T, N, F)
+    return out[:n_out]
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0, 1, 2, 3, 4))
+def _flat_spmm(n_in, n_out, fast, interpret, gather_dtype, packed, packed_t, flat):
+    """(n_in, F) -> (n_out, F); backward routes dX = Aᵀ dY via packed_t."""
+    return _flat_fwd_impl(n_out, fast, interpret, gather_dtype, packed, flat)
+
+
+def _flat_spmm_fwd(n_in, n_out, fast, interpret, gather_dtype, packed, packed_t, flat):
+    out = _flat_fwd_impl(n_out, fast, interpret, gather_dtype, packed, flat)
+    return out, (packed, packed_t)
+
+
+def _flat_spmm_bwd(n_in, n_out, fast, interpret, gather_dtype, res, dY):
+    packed, packed_t = res
+    dX = _flat_fwd_impl(n_in, fast, interpret, gather_dtype, packed_t, dY)
+    return _zero_cotangent(packed), _zero_cotangent(packed_t), dX
+
+
+def _spmm_packed_fwd_impl(T, N, fast, interpret, gather_dtype, packed, X):
+    F = X.shape[-1]
+    flat = X.reshape(T * N, F)
+    return _flat_fwd_impl(T * N, fast, interpret, gather_dtype, packed, flat).reshape(
+        T, N, F
+    )
 
 
 def _zero_cotangent(tree):
@@ -335,6 +382,83 @@ def _spmm_packed_bwd(T, N, fast, interpret, gather_dtype, res, dY):
 
 
 _spmm_packed.defvjp(_spmm_packed_fwd, _spmm_packed_bwd)
+_flat_spmm.defvjp(_flat_spmm_fwd, _flat_spmm_bwd)
+
+
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["packed", "packed_t"],
+    meta_fields=["n_in", "n_out", "fast", "interpret", "gather_dtype"],
+)
+@dataclasses.dataclass(frozen=True)
+class FlatPallasOperator:
+    """A prepacked RECTANGULAR flat operator: (n_in, F) -> (n_out, F).
+
+    Same kernel as PallasSpmmOperator but over an arbitrary (row, col)
+    entry stream whose rows index a different (smaller) space than its
+    columns — e.g. the readout-restricted layer-2 operator (endpoint
+    rows x used in-neighbor rows) of tasks/adapters.py.
+    """
+
+    n_in: int
+    n_out: int
+    packed: PackedSpmm
+    packed_t: PackedSpmm
+    fast: bool = False
+    interpret: bool = False
+    gather_dtype: str | None = None
+
+    def __call__(self, flat: jax.Array) -> jax.Array:
+        return _flat_spmm(
+            self.n_in,
+            self.n_out,
+            self.fast,
+            self.interpret,
+            self.gather_dtype,
+            self.packed,
+            self.packed_t,
+            flat,
+        )
+
+
+def make_flat_operator(
+    rows: np.ndarray,
+    cols: np.ndarray,
+    vals: np.ndarray,
+    n_in: int,
+    n_out: int,
+    chunk: int = DEFAULT_CHUNK,
+    window: int = DEFAULT_WINDOW,
+    fast: bool = False,
+    interpret: bool | None = None,
+    gather_dtype: str | None = None,
+    sort_cols: bool = False,
+) -> FlatPallasOperator:
+    """Prepack a rectangular flat operator (host-side, once).
+
+    rows (< n_out) need not be pre-sorted; the stream is row-sorted here.
+    The transpose packing (cols as rows, < n_in) powers the backward.
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    vals = np.asarray(vals)
+    order = np.argsort(rows, kind="stable")
+    order_t = np.argsort(cols, kind="stable")
+    return FlatPallasOperator(
+        n_in=int(n_in),
+        n_out=int(n_out),
+        packed=pack_windowed_flat(
+            rows[order], cols[order], vals[order], n_out, chunk, window, sort_cols
+        ),
+        packed_t=pack_windowed_flat(
+            cols[order_t], rows[order_t], vals[order_t], n_in, chunk, window, sort_cols
+        ),
+        fast=fast,
+        interpret=interpret,
+        gather_dtype=gather_dtype,
+    )
 
 
 @partial(

@@ -76,7 +76,11 @@ def _fast_edge_logits(W, U, bundle: dict, dtype, readout: str = "concat"):
 
 
 def _build_restricted_layer2(
-    bundle: dict, A: TemporalCOO, edges_np: np.ndarray, drop_last_slice: bool
+    bundle: dict,
+    A: TemporalCOO,
+    edges_np: np.ndarray,
+    drop_last_slice: bool,
+    operator: str = "auto",
 ) -> None:
     """Restrict the layer-2 propagation to readout-visible rows.
 
@@ -108,10 +112,25 @@ def _build_restricted_layer2(
     idx = np.minimum(idx, len(uniq) - 1)
     member = uniq[idx] == g_rows
     used = np.unique(g_cols[member])
-    op = make_flat_operator(
-        idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
-        n_in=len(used), n_out=len(uniq), k=4,
-    )
+    if operator == "auto":
+        # The Pallas windowed-MXU kernel replaces XLA's serialized
+        # scatter: the same restricted operator runs 4.3 -> ~0.5 ms per
+        # epoch on chess (f32-exact mode). Off-TPU the rowsplit gather/
+        # segment operator keeps the CPU test path in native XLA.
+        operator = "pallas" if jax.default_backend() == "tpu" else "rowsplit"
+    if operator == "pallas":
+        from tmgcn_tpu.kernels.spmm_pallas import make_flat_operator as mk_pallas
+
+        op = mk_pallas(
+            idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
+            n_in=len(used), n_out=len(uniq), chunk=512, window=256,
+            sort_cols=True,
+        )
+    else:
+        op = make_flat_operator(
+            idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
+            n_in=len(used), n_out=len(uniq), k=4,
+        )
     bundle["l2op"] = jax.device_put(op)
     # One build-time device gather: the cached propagation at used rows.
     F0 = bundle["cached"].shape[-1]
@@ -283,10 +302,15 @@ def make_edge_adapter(
                 if model.interlayer_dtype is not None:
                     Y = Y.astype(model.interlayer_dtype)
                 Zc = bundle["l2op"](Y).astype(dtype)
-                Zc = jnp.matmul(Zc, p["W2"].astype(dtype)).astype(dtype)
-                F2 = Zc.shape[-1]
+                # Fold W2 @ U before the per-edge gathers: the tiny
+                # (F1, C) products run on n_uniq rows instead of E, and
+                # the gathered width drops to C.
+                W2 = p["W2"].astype(dtype)
+                F2 = W2.shape[-1]
                 U = p["U"].astype(dtype)
-                logits = Zc[bundle["l2_src"]] @ U[:F2] + Zc[bundle["l2_trg"]] @ U[F2:]
+                P1 = jnp.matmul(Zc, W2 @ U[:F2])
+                P2 = jnp.matmul(Zc, W2 @ U[F2:])
+                logits = P1[bundle["l2_src"]] + P2[bundle["l2_trg"]]
                 return logits, carry
 
             return ModelAdapter(model.init, apply, bundles, lambda variables: ())
