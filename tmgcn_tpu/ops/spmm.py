@@ -70,6 +70,17 @@ def spmm(A: TemporalCOO, X: jax.Array, impl: str = "jnp") -> jax.Array:
                 "RowSplitSpmmOperator with make_operator(A) outside jit"
             )
         return make_operator(A)(X)
+    if impl in ("blockdense", "blockdense_bf16"):
+        from tmgcn_tpu.ops.spmm_blockdense import make_operator
+
+        if isinstance(A.rows, jax.core.Tracer):
+            raise ValueError(
+                "spmm(impl='blockdense') needs host-side packing; build a "
+                "TemporalBlockDenseOperator with make_operator(A) outside jit"
+            )
+        return make_operator(
+            A, mode="bf16" if impl.endswith("bf16") else "exact"
+        )(X)
     if impl != "jnp":
         raise ValueError(f"unknown spmm impl: {impl!r}")
     # Flatten the (T, P) batch into one global gather + segment reduction:

@@ -113,12 +113,34 @@ def _build_restricted_layer2(
     member = uniq[idx] == g_rows
     used = np.unique(g_cols[member])
     if operator == "auto":
-        # The Pallas windowed-MXU kernel replaces XLA's serialized
-        # scatter: the same restricted operator runs 4.3 -> ~0.5 ms per
-        # epoch on chess (f32-exact mode). Off-TPU the rowsplit gather/
-        # segment operator keeps the CPU test path in native XLA.
-        operator = "pallas" if jax.default_backend() == "tpu" else "rowsplit"
-    if operator == "pallas":
+        # On TPU, prefer the block-dense operator: the restricted
+        # stream is block-local (node ids ordered by appearance, banded
+        # M), and dense MXU tiles beat the Pallas kernel's random-row
+        # gather 3x when the block tensor moves fewer bytes than the
+        # tile-gather floor (spmm_blockdense module docstring). Fall
+        # back to the windowed Pallas kernel for block-hostile
+        # patterns. Off-TPU the rowsplit gather/segment operator keeps
+        # the CPU test path in native XLA.
+        if jax.default_backend() == "tpu":
+            from tmgcn_tpu.ops.spmm_blockdense import estimate
+
+            est = estimate(idx[member], np.searchsorted(used, g_cols[member]))
+            operator = "blockdense" if est["ratio"] < 0.5 else "pallas"
+        else:
+            operator = "rowsplit"
+    op = None
+    if operator in ("blockdense", "blockdense_bf16"):
+        from tmgcn_tpu.ops.spmm_blockdense import make_flat_operator as mk_bd
+
+        try:
+            op = mk_bd(
+                idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
+                n_in=len(used), n_out=len(uniq),
+                mode="bf16" if operator.endswith("bf16") else "exact",
+            )
+        except ValueError:
+            operator = "pallas"  # over the block-tensor byte budget
+    if op is None and operator == "pallas":
         from tmgcn_tpu.kernels.spmm_pallas import make_flat_operator as mk_pallas
 
         op = mk_pallas(
@@ -126,7 +148,7 @@ def _build_restricted_layer2(
             n_in=len(used), n_out=len(uniq), chunk=512, window=256,
             sort_cols=True,
         )
-    else:
+    if op is None:
         op = make_flat_operator(
             idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
             n_in=len(used), n_out=len(uniq), k=4,
@@ -169,7 +191,9 @@ class ModelAdapter:
         return self.apply(variables, self.bundles[window], carry)
 
 
-OPERATOR_IMPLS = ("pallas", "pallas_bf16", "rowsplit")
+OPERATOR_IMPLS = (
+    "pallas", "pallas_bf16", "rowsplit", "blockdense", "blockdense_bf16"
+)
 
 
 def _prepare_bundles(
@@ -200,6 +224,15 @@ def _prepare_bundles(
             A = make_operator(
                 A, chunk=512, window=256, gather_dtype="bfloat16",
                 sort_cols=True,
+            )
+        elif spmm_operator in ("blockdense", "blockdense_bf16"):
+            # Dense MXU tiles over the block-local nonzero pattern —
+            # sequential DMA instead of random row gathers
+            # (ops/spmm_blockdense.py).
+            from tmgcn_tpu.ops.spmm_blockdense import make_operator
+
+            A = make_operator(
+                A, mode="bf16" if spmm_operator.endswith("bf16") else "exact"
             )
         elif spmm_operator == "rowsplit":
             from tmgcn_tpu.ops.spmm_rowsplit import make_operator

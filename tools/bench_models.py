@@ -60,6 +60,11 @@ def main() -> int:
         )
 
     path = REPO / "results/model_bench.json"
+    if path.exists():  # partial runs update, not clobber, earlier numbers
+        prev = json.loads(path.read_text())
+        prev_ms = prev.get("epoch_ms", {})
+        prev_ms.update(out["epoch_ms"])
+        out["epoch_ms"] = prev_ms
     path.write_text(json.dumps(out, indent=1))
     print(f"wrote {path}")
     return 0
