@@ -334,6 +334,12 @@ def bench_ours2_full(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED2):
         A_op = make_operator(
             A, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
         )
+    elif spmm_impl in ("blockdense", "blockdense_bf16"):
+        from tmgcn_tpu.ops.spmm_blockdense import make_operator
+
+        A_op = make_operator(
+            A, mode="bf16" if spmm_impl.endswith("bf16") else "exact"
+        )
     else:
         A_op = A
     A_op = jax.device_put(A_op)
@@ -482,11 +488,23 @@ def bench_spmm_isolated(data, impl: str) -> dict:
         op = make_operator(
             Ct, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
         )
+    elif impl in ("blockdense", "blockdense_bf16"):
+        from tmgcn_tpu.ops.spmm_blockdense import make_operator
+
+        op = make_operator(
+            Ct, mode="bf16" if impl.endswith("bf16") else "exact"
+        )
     else:
         from tmgcn_tpu.ops.spmm import spmm
 
         op = lambda x: spmm(Ct, x)
-    dt = measure(jax.jit(lambda x: op(x).sum()), X, iters=15)
+    if impl.startswith("blockdense"):
+        # Pass the operator through the jit boundary: its multi-GB block
+        # tensor must stay an XLA parameter, not a baked constant.
+        op_arg = jax.device_put(op)
+        dt = measure(jax.jit(lambda o, x: o(x).sum()), op_arg, X, iters=15)
+    else:
+        dt = measure(jax.jit(lambda x: op(x).sum()), X, iters=15)
     cost = spmm_cost(nnz, T * N, F)
     return {
         "mnnz_per_s": round(nnz / dt / 1e6, 1),
@@ -535,7 +553,7 @@ def main() -> int:
 
     # --- isolated SpMM roofline (layer-2 shape) ---
     spmm_stats = {}
-    for impl in ("jnp", "rowsplit", "pallas", "pallas_bf16"):
+    for impl in ("jnp", "rowsplit", "pallas", "pallas_bf16", "blockdense", "blockdense_bf16"):
         try:
             spmm_stats[impl] = bench_spmm_isolated(data, impl)
             stage(f"spmm [{impl}] {spmm_stats[impl]}")

@@ -30,7 +30,10 @@ sys.path.insert(0, str(REPO))
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=8, help="timed epochs per impl")
-    ap.add_argument("--impls", default="jnp,rowsplit,pallas,pallas_bf16")
+    ap.add_argument(
+        "--impls",
+        default="jnp,rowsplit,pallas,pallas_bf16,blockdense,blockdense_bf16",
+    )
     ap.add_argument("--no-torch", action="store_true")
     args = ap.parse_args()
 
