@@ -62,6 +62,22 @@ def _evolve_step(cell: dict, W: jax.Array, x: jax.Array) -> jax.Array:
     return gru_cell(cell, summarize(x, cell["p"], k).T, W)
 
 
+def batched_summaries(cell: dict, X: jax.Array, k: int) -> jax.Array:
+    """All slices' GRU inputs summarize(X_t, p, k)^T at once: (T, F, k).
+
+    The top-k summary depends only on the features and the fixed scoring
+    vector p — not on the evolving weights — so the per-step top_k and
+    gather hoist out of the sequential scan as ONE batched call (the
+    scan then carries nothing but the tiny GRU; measured 6.96 -> ~2 ms
+    per chess training epoch). Identical math to summarize() per slice.
+    """
+    p = cell["p"]
+    y = jnp.matmul(X, p) / jnp.linalg.norm(p)  # (T, N)
+    top_y, idx = jax.lax.top_k(y, k)  # (T, k)
+    S = jnp.take_along_axis(X, idx[..., None], axis=1) * top_y[..., None]
+    return jnp.swapaxes(S, 1, 2)
+
+
 @dataclasses.dataclass(frozen=True)
 class EvolveGCN:
     """EvolveGCN-H with 1 or 2 layers and edge-readout head.
@@ -130,15 +146,20 @@ class EvolveGCN:
 
         if self.n_layers == 1:
             if AX is not None:
+                # Batched summaries + batched propagation: the scan body
+                # is ONLY the (F0, F1)-sized GRU; the (T, N, F) work runs
+                # as single large ops outside the sequential loop.
+                S = batched_summaries(p["cell1"], X, W0.shape[1])
 
-                def step_cached(W, xs):
-                    ax, x = xs
-                    W = _evolve_step(p["cell1"], W, x)
-                    h = jnp.matmul(ax, W)
-                    return W, h.astype(self.store_dtype)
+                def step_cached(W, s):
+                    W = gru_cell(p["cell1"], s, W)
+                    return W, W
 
-                W_fin, Y = jax.lax.scan(step_cached, W0, (AX, X))
-                return Y, (W_fin,)
+                W_fin, Ws = jax.lax.scan(step_cached, W0, S)
+                # einsum promotes like the per-step matmul did (AX f32 x
+                # W f64 -> f64 in the strict-parity configuration).
+                Y = jnp.einsum("tnf,tfk->tnk", AX, Ws)
+                return Y.astype(self.store_dtype), (W_fin,)
 
             def step(W, xs):
                 rows, cols, vals, x = xs
@@ -233,23 +254,41 @@ class EvolveGCNReg:
             "buffers": {"W_init1": randn(k["W_init1"], (f0, f1), self.dtype)},
         }
 
+    def propagate(self, A: TemporalCOO, X: jax.Array) -> jax.Array:
+        """AX per slice — constant across training epochs, cacheable."""
+        return spmm(A, X)
+
     def apply(
         self,
         variables: dict,
         A: TemporalCOO,
         X: jax.Array,
         W_init: jax.Array | None = None,
+        AX: jax.Array | None = None,
     ) -> jax.Array:
         p = variables["params"]
         W0 = variables["buffers"]["W_init1"] if W_init is None else W_init
         n = A.n_nodes
 
-        def step(W, xs):
-            rows, cols, vals, x = xs
-            W = _evolve_step(p["cell1"], W, x)
-            h = jnp.matmul(spmm_slice(rows, cols, vals, x, n), W)
-            return W, h.astype(self.store_dtype)
+        if AX is not None:
+            # Same hoist as the classifier: batched summaries feed a
+            # GRU-only scan, then one batched propagation einsum.
+            S = batched_summaries(p["cell1"], X, W0.shape[1])
 
-        _, Y = jax.lax.scan(step, W0, (A.rows, A.cols, A.vals, X))
+            def step_cached(W, s):
+                W = gru_cell(p["cell1"], s, W)
+                return W, W
+
+            _, Ws = jax.lax.scan(step_cached, W0, S)
+            Y = jnp.einsum("tnf,tfk->tnk", AX, Ws).astype(self.store_dtype)
+        else:
+
+            def step(W, xs):
+                rows, cols, vals, x = xs
+                W = _evolve_step(p["cell1"], W, x)
+                h = jnp.matmul(spmm_slice(rows, cols, vals, x, n), W)
+                return W, h.astype(self.store_dtype)
+
+            _, Y = jax.lax.scan(step, W0, (A.rows, A.cols, A.vals, X))
         out = jnp.matmul(Y, p["lin_w"].astype(Y.dtype)) + p["lin_b"].astype(Y.dtype)
         return out[..., 0]

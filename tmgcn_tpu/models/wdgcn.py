@@ -41,22 +41,31 @@ def _init_lstm(key: jax.Array, f: int, dtype) -> tuple[dict, dict]:
 
 
 def lstm_scan(params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array) -> jax.Array:
-    """Scan the shared-weight LSTM over (T, N, F) -> (T, N, F)."""
-    p = params
+    """Scan the shared-weight LSTM over (T, N, F) -> (T, N, F).
 
-    def step(carry, y):
+    The input-side gate contributions ``Y @ W_g + b_g`` depend only on
+    the (precomputed) embeddings, so they run as four batched matmuls
+    over all T slices before the scan; the sequential body keeps only
+    the recurrent ``h @ U_g`` half.
+    """
+    p = params
+    pre = {
+        g: jnp.matmul(Y, p[f"W{g}"].astype(Y.dtype)) + p[f"b{g}"] for g in "fjco"
+    }
+
+    def step(carry, xs):
         h, c = carry
-        f = jax.nn.sigmoid(y @ p["Wf"] + h @ p["Uf"] + p["bf"])
-        j = jax.nn.sigmoid(y @ p["Wj"] + h @ p["Uj"] + p["bj"])
-        o = jax.nn.sigmoid(y @ p["Wo"] + h @ p["Uo"] + p["bo"])
-        ct = jax.nn.sigmoid(y @ p["Wc"] + h @ p["Uc"] + p["bc"])
+        f = jax.nn.sigmoid(xs["f"] + h @ p["Uf"])
+        j = jax.nn.sigmoid(xs["j"] + h @ p["Uj"])
+        o = jax.nn.sigmoid(xs["o"] + h @ p["Uo"])
+        ct = jax.nn.sigmoid(xs["c"] + h @ p["Uc"])
         c = j * ct + f * c
         h = o * jnp.tanh(c)
         return (h, c), h
 
     n = Y.shape[1]
     carry0 = (jnp.tile(h0, (n, 1)), jnp.tile(c0, (n, 1)))
-    _, Z = jax.lax.scan(step, carry0, Y)
+    _, Z = jax.lax.scan(step, carry0, pre)
     return Z
 
 

@@ -451,10 +451,20 @@ def make_regression_adapter(
             )
 
     elif isinstance(model, EvolveGCNReg):
+        # Cache the parameter-independent A@X (as the classifier adapter
+        # does) so the evolved-weight scan runs no SpMM.
+        for b in bundles.values():
+            b["cached_ax"] = model.propagate(b["adj"], b["X"])
 
         def apply(variables, bundle, carry):
             W0 = carry[0] if carry else None
-            return model.apply(variables, bundle["adj"], bundle["X"], W0), carry
+            return (
+                model.apply(
+                    variables, bundle["adj"], bundle["X"], W0,
+                    AX=bundle.get("cached_ax"),
+                ),
+                carry,
+            )
 
     elif isinstance(model, WDGCNReg):
 
