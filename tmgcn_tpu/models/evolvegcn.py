@@ -173,20 +173,29 @@ class EvolveGCN:
         W20 = b["W_init2"] if W_init2 is None else W_init2
 
         if AX is not None:
+            # Stage the whole 2-layer model as batched ops around two
+            # GRU-only scans: layer-1 summaries depend only on X, so W1
+            # evolves first; H1 then materializes in one einsum, which
+            # makes the layer-2 summaries batchable too, and the layer-2
+            # propagation runs as ONE batched SpMM instead of T
+            # sequential per-slice ones.
+            S1 = batched_summaries(p["cell1"], X, W0.shape[1])
 
-            def step2_cached(carry, xs):
-                W, W2 = carry
-                rows, cols, vals, x, ax = xs
-                W = _evolve_step(p["cell1"], W, x)
-                h = jax.nn.relu(jnp.matmul(ax, W))
-                W2 = _evolve_step(p["cell2"], W2, h)
-                h = jnp.matmul(spmm_slice(rows, cols, vals, h, n), W2)
-                return (W, W2), h.astype(self.store_dtype)
+            def stepw1(W, s):
+                W = gru_cell(p["cell1"], s, W)
+                return W, W
 
-            (W_fin, W2_fin), Y = jax.lax.scan(
-                step2_cached, (W0, W20), (A.rows, A.cols, A.vals, X, AX)
-            )
-            return Y, (W_fin, W2_fin)
+            W_fin, W1s = jax.lax.scan(stepw1, W0, S1)
+            H1 = jax.nn.relu(jnp.einsum("tnf,tfk->tnk", AX, W1s))
+            S2 = batched_summaries(p["cell2"], H1, W20.shape[1])
+
+            def stepw2(W2, s):
+                W2 = gru_cell(p["cell2"], s, W2)
+                return W2, W2
+
+            W2_fin, W2s = jax.lax.scan(stepw2, W20, S2)
+            Y = jnp.einsum("tnf,tfk->tnk", spmm(A, H1), W2s)
+            return Y.astype(self.store_dtype), (W_fin, W2_fin)
 
         def step2(carry, xs):
             W, W2 = carry
