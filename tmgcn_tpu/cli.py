@@ -81,6 +81,8 @@ def _cmd_run(args) -> int:
     cfg = get_preset(args.preset)
     if args.seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.seed)
+    if args.spmm_impl is not None:
+        cfg = dataclasses.replace(cfg, spmm_impl=args.spmm_impl)
     alphas = tuple(args.alphas) if args.alphas else None
     mesh_shape = _parse_mesh(args.mesh) if args.mesh else None
     t0 = time.time()
@@ -151,6 +153,12 @@ def main(argv=None) -> int:
     rp.add_argument("--out")
     rp.add_argument("--checkpoint-dir")
     rp.add_argument("--mesh", help="sharded execution, e.g. graph=4,time=2")
+    rp.add_argument(
+        "--spmm-impl",
+        choices=["jnp", "rowsplit", "pallas", "pallas_bf16",
+                 "blockdense", "blockdense_bf16"],
+        help="override the preset's SpMM implementation",
+    )
     rp.add_argument("--seed", type=int)
     rp.add_argument("--debug-nans", action="store_true",
                     help="raise on the first NaN produced on device")
