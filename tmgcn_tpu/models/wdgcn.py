@@ -43,30 +43,40 @@ def _init_lstm(key: jax.Array, f: int, dtype) -> tuple[dict, dict]:
 def lstm_scan(params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array) -> jax.Array:
     """Scan the shared-weight LSTM over (T, N, F) -> (T, N, F).
 
-    The input-side gate contributions ``Y @ W_g + b_g`` depend only on
-    the (precomputed) embeddings, so they run as four batched matmuls
-    over all T slices before the scan; the sequential body keeps only
-    the recurrent ``h @ U_g`` half.
+    Two layout decisions for the TPU:
+
+    * The input-side gate contributions ``Y @ W_g + b_g`` depend only on
+      the (precomputed) embeddings, so they run as four batched matmuls
+      over all T slices before the scan; the sequential body keeps only
+      the recurrent ``h @ U_g`` half.
+    * The scan state runs TRANSPOSED, (F, N): with F ~ 6 the (N, F)
+      layout pads the 128-lane minor dimension ~21x, so every per-step
+      gate op would move 16x more VREG tiles than needed (same trick as
+      the adapters' (F0, E) edge-row cache). Transposes happen once at
+      the scan boundary, not per step.
     """
     p = params
+    # (T, F, N) input-gate contributions, bias folded in.
     pre = {
-        g: jnp.matmul(Y, p[f"W{g}"].astype(Y.dtype)) + p[f"b{g}"] for g in "fjco"
+        g: jnp.einsum("fk,tnf->tkn", p[f"W{g}"].astype(Y.dtype), Y)
+        + p[f"b{g}"][:, None]
+        for g in "fjco"
     }
 
     def step(carry, xs):
-        h, c = carry
-        f = jax.nn.sigmoid(xs["f"] + h @ p["Uf"])
-        j = jax.nn.sigmoid(xs["j"] + h @ p["Uj"])
-        o = jax.nn.sigmoid(xs["o"] + h @ p["Uo"])
-        ct = jax.nn.sigmoid(xs["c"] + h @ p["Uc"])
+        h, c = carry  # (F, N)
+        f = jax.nn.sigmoid(xs["f"] + p["Uf"].T @ h)
+        j = jax.nn.sigmoid(xs["j"] + p["Uj"].T @ h)
+        o = jax.nn.sigmoid(xs["o"] + p["Uo"].T @ h)
+        ct = jax.nn.sigmoid(xs["c"] + p["Uc"].T @ h)
         c = j * ct + f * c
         h = o * jnp.tanh(c)
         return (h, c), h
 
     n = Y.shape[1]
-    carry0 = (jnp.tile(h0, (n, 1)), jnp.tile(c0, (n, 1)))
+    carry0 = (jnp.tile(h0[:, None], (1, n)), jnp.tile(c0[:, None], (1, n)))
     _, Z = jax.lax.scan(step, carry0, pre)
-    return Z
+    return jnp.swapaxes(Z, 1, 2)  # back to (T, N, F)
 
 
 @dataclasses.dataclass(frozen=True)
