@@ -1,0 +1,80 @@
+"""Fast-backward ReadoutPlan: forward and gradient parity (interpret mode)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tmgcn_tpu.ops.edge_readout import (
+    apply_readout,
+    edge_readout,
+    make_readout_plan,
+)
+
+
+def _setup(seed=0, T=4, N=64, E=120, F=5):
+    rng = np.random.default_rng(seed)
+    edges = np.stack([
+        np.sort(rng.integers(0, T, E)),
+        rng.integers(0, N, E),
+        rng.integers(0, N, E),
+    ]).astype(np.int64)
+    Y = jnp.asarray(rng.standard_normal((T, N, F)).astype(np.float32))
+    U = jnp.asarray(rng.standard_normal((2 * F, 3)).astype(np.float32))
+    plan = make_readout_plan(edges, T, N, interpret=True)
+    return edges, Y, U, plan
+
+
+def test_plan_forward_matches_direct():
+    edges, Y, U, plan = _setup()
+    direct = edge_readout(Y, jnp.asarray(edges), U)
+    fast = apply_readout(plan, Y, U)
+    np.testing.assert_allclose(np.asarray(fast), np.asarray(direct), rtol=1e-6, atol=1e-6)
+
+
+def test_plan_gradients_match_direct():
+    edges, Y, U, plan = _setup(seed=1)
+    e = jnp.asarray(edges)
+    tgt = jnp.asarray(np.random.default_rng(2).standard_normal((edges.shape[1], 3)).astype(np.float32))
+
+    def loss_direct(Y, U):
+        return jnp.sum((edge_readout(Y, e, U) - tgt) ** 2)
+
+    def loss_fast(Y, U):
+        return jnp.sum((apply_readout(plan, Y, U) - tgt) ** 2)
+
+    gY_d, gU_d = jax.grad(loss_direct, argnums=(0, 1))(Y, U)
+    gY_f, gU_f = jax.grad(loss_fast, argnums=(0, 1))(Y, U)
+    np.testing.assert_allclose(np.asarray(gY_f), np.asarray(gY_d), rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gU_f), np.asarray(gU_d), rtol=1e-5, atol=1e-5)
+
+
+def test_evolvegcn_readout_op_matches_direct():
+    from tmgcn_tpu.core.sparse import TemporalCOO
+    from tmgcn_tpu.models.evolvegcn import EvolveGCN
+    from tmgcn_tpu.ops.edge_readout import apply_readout as ar
+
+    rng = np.random.default_rng(3)
+    T, N, per, E, F0 = 4, 64, 100, 50, 3
+    A = TemporalCOO(
+        rows=np.sort(rng.integers(0, N, (T, per)), axis=1).astype(np.int32),
+        cols=rng.integers(0, N, (T, per)).astype(np.int32),
+        vals=rng.standard_normal((T, per)).astype(np.float32),
+        nnz=np.full(T, per, np.int32),
+        n_nodes=N,
+    )
+    X = jnp.asarray(rng.standard_normal((T, N, F0)).astype(np.float32))
+    edges = np.stack([
+        np.sort(rng.integers(0, T, E)), rng.integers(0, N, E), rng.integers(0, N, E)
+    ]).astype(np.int64)
+    model = EvolveGCN(n_slices=T, in_feat=F0, hidden_feat=(4, 3))
+    variables = model.init(jax.random.PRNGKey(0))
+    AX = model.propagate(A, X)
+    plan = make_readout_plan(edges, T, N, interpret=True)
+    e = jnp.asarray(edges)
+    out_direct, _ = model.apply(variables, A, X, e, AX=AX)
+    out_plan, _ = model.apply(
+        variables, A, X, e, AX=AX, readout_op=lambda Y, U: ar(plan, Y, U)
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_plan), np.asarray(out_direct), rtol=1e-5, atol=1e-5
+    )

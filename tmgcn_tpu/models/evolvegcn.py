@@ -218,10 +218,14 @@ class EvolveGCN:
         W_init: jax.Array | None = None,
         W_init2: jax.Array | None = None,
         AX: jax.Array | None = None,
+        readout_op=None,
     ) -> tuple[jax.Array, tuple[jax.Array, ...]]:
         """Returns ((E, C) logits, evolved final weights)."""
         Y, finals = self.embed_and_weights(variables, A, X, W_init, W_init2, AX)
-        return edge_readout(Y, edges, variables["params"]["U"]), finals
+        U = variables["params"]["U"]
+        if readout_op is not None:
+            return readout_op(Y, U), finals
+        return edge_readout(Y, edges, U), finals
 
 
 @dataclasses.dataclass(frozen=True)

@@ -241,8 +241,13 @@ def _prepare_bundles(
         bundle = {"adj": A, "X": jnp.asarray(X)}
         if edges is not None:
             bundle["edges"] = jnp.asarray(np.asarray(edges[w]), dtype=jnp.int32)
-            if spmm_operator is not None:
-                # Fast readout backward through the windowed kernel.
+            # Fast readout backward through the windowed kernel: the
+            # autodiff transpose of the endpoint gather is a serialized
+            # XLA scatter (~50 ns/row — ~4 ms/epoch at chess edge
+            # counts), so on TPU every edge model gets the prepacked
+            # plan. Off-TPU only operator-backed configs build it (the
+            # interpreted kernel is slow; XLA CPU scatters are fine).
+            if spmm_operator is not None or jax.default_backend() == "tpu":
                 from tmgcn_tpu.ops.edge_readout import make_readout_plan
 
                 bundle["readout"] = make_readout_plan(
@@ -406,6 +411,7 @@ def make_edge_adapter(
                 bundle["edges"],
                 *inits,
                 AX=bundle.get("cached_ax"),
+                readout_op=_readout_fn(bundle),
             )
             return out, finals
 
