@@ -48,6 +48,61 @@ def test_plan_gradients_match_direct():
     np.testing.assert_allclose(np.asarray(gU_f), np.asarray(gU_d), rtol=1e-5, atol=1e-5)
 
 
+def test_evolvegcn_adapter_fast_path_matches_model():
+    """The gather-free 1-layer adapter logits == model.apply logits."""
+    from tmgcn_tpu.core.sparse import TemporalCOO
+    from tmgcn_tpu.models.evolvegcn import EvolveGCN
+    from tmgcn_tpu.tasks.adapters import make_edge_adapter
+
+    rng = np.random.default_rng(7)
+    T, N, per, E, F0 = 5, 80, 150, 60, 3
+    A = TemporalCOO(
+        rows=np.sort(rng.integers(0, N, (T, per)), axis=1).astype(np.int32),
+        cols=rng.integers(0, N, (T, per)).astype(np.int32),
+        vals=rng.standard_normal((T, per)).astype(np.float32),
+        nnz=np.full(T, per, np.int32),
+        n_nodes=N,
+    )
+    X = rng.standard_normal((T, N, F0)).astype(np.float32)
+    edges = {
+        w: np.stack([
+            np.sort(rng.integers(0, T, E)),
+            rng.integers(0, N, E),
+            rng.integers(0, N, E),
+        ]).astype(np.int64)
+        for w in ("train", "val", "test")
+    }
+    model = EvolveGCN(n_slices=T, in_feat=F0, hidden_feat=(4, 3))
+    adapter = make_edge_adapter(
+        model,
+        {w: A for w in ("train", "val", "test")},
+        {w: X for w in ("train", "val", "test")},
+        edges,
+    )
+    assert "ax_srcT" in adapter.bundles["train"]  # fast path engaged
+    variables = adapter.init(jax.random.PRNGKey(1))
+    out_fast, (W_fin_fast,) = adapter.logits(variables, "train")
+    AX = model.propagate(A, jnp.asarray(X))
+    out_ref, (W_fin_ref,) = model.apply(
+        variables, A, jnp.asarray(X), jnp.asarray(edges["train"]), AX=AX
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_ref), rtol=1e-5, atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(W_fin_fast), np.asarray(W_fin_ref), rtol=1e-6, atol=1e-6
+    )
+    # explicit initial weights thread through the carry identically
+    W0 = jnp.asarray(rng.standard_normal((F0, 4)).astype(np.float32))
+    out_fast2, _ = adapter.apply(variables, adapter.bundles["val"], (W0,))
+    out_ref2, _ = model.apply(
+        variables, A, jnp.asarray(X), jnp.asarray(edges["val"]), W0, AX=AX
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fast2), np.asarray(out_ref2), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_evolvegcn_readout_op_matches_direct():
     from tmgcn_tpu.core.sparse import TemporalCOO
     from tmgcn_tpu.models.evolvegcn import EvolveGCN

@@ -129,6 +129,30 @@ class EvolveGCN:
         """
         return spmm(A, X)
 
+    def evolved_weights(
+        self,
+        variables: dict,
+        X: jax.Array,
+        W_init: jax.Array | None = None,
+    ) -> tuple[jax.Array, jax.Array]:
+        """1-layer weight evolution alone: (final W, (T, F0, F1) stack).
+
+        The weight trajectory depends only on X (through the batched
+        summaries) — adapters use this to build logits without ever
+        materializing the (T, N, F1) embedding tensor.
+        """
+        if self.n_layers != 1:
+            raise ValueError("evolved_weights is the 1-layer trajectory")
+        p, b = variables["params"], variables["buffers"]
+        W0 = b["W_init1"] if W_init is None else W_init
+        S = batched_summaries(p["cell1"], X, W0.shape[1])
+
+        def stepw(W, s):
+            W = gru_cell(p["cell1"], s, W)
+            return W, W
+
+        return jax.lax.scan(stepw, W0, S)
+
     def embed_and_weights(
         self,
         variables: dict,

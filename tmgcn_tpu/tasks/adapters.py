@@ -402,6 +402,52 @@ def make_edge_adapter(
         for b in bundles.values():
             b["cached_ax"] = model.propagate(b["adj"], b["X"])
 
+        if model.n_layers == 1 and model.store_dtype == model.dtype:
+            # Gather-free fast path (the commutation trick of the TM-GCN
+            # 1-layer path, extended to per-slice weights): logits[e] =
+            # ax_src[e] @ (W_{t_e} @ U_src) + ax_trg[e] @ (W_{t_e} @
+            # U_trg), so an epoch needs only the GRU-only weight scan,
+            # two (C*F0, T) x (T, E) one-hot matmuls mapping slice
+            # weights to edges, and a lane-dense elementwise contraction
+            # over F0 — no (T, N, F1) embedding tensor, no gathers, no
+            # scatters. Skipped when store_dtype != dtype (the
+            # reference's f32-buffer truncation happens between the W
+            # and U contractions and cannot commute).
+            for w in WINDOWS:
+                b = bundles[w]
+                ax = b["cached_ax"]
+                T_, N_, F0_ = ax.shape
+                e = np.asarray(edges[w], np.int64)
+                flat = ax.reshape(T_ * N_, F0_)
+                b["ax_srcT"] = flat[jnp.asarray(e[0] * N_ + e[1])].T
+                b["ax_trgT"] = flat[jnp.asarray(e[0] * N_ + e[2])].T
+                oh = np.zeros((T_, e.shape[1]), np.float32)
+                oh[e[0], np.arange(e.shape[1])] = 1.0
+                b["edge_slice_ohT"] = jax.device_put(jnp.asarray(oh))
+
+            def apply(variables, bundle, carry):
+                p = variables["params"]
+                W0 = carry[0] if carry else variables["buffers"]["W_init1"]
+                W_fin, Ws = model.evolved_weights(variables, bundle["X"], W0)
+                dtype = model.dtype
+                U = p["U"].astype(dtype)
+                F1 = Ws.shape[-1]
+                Ws = Ws.astype(dtype)
+                Wsrc = jnp.einsum("tfk,kc->cft", Ws, U[:F1])
+                Wtrg = jnp.einsum("tfk,kc->cft", Ws, U[F1:])
+                C, F0m, T_ = Wsrc.shape
+                oh = bundle["edge_slice_ohT"]
+                We_s = (Wsrc.reshape(C * F0m, T_) @ oh).reshape(C, F0m, -1)
+                We_t = (Wtrg.reshape(C * F0m, T_) @ oh).reshape(C, F0m, -1)
+                logitsT = (We_s * bundle["ax_srcT"][None]).sum(1)
+                logitsT = logitsT + (We_t * bundle["ax_trgT"][None]).sum(1)
+                return logitsT.T, (W_fin,)
+
+            def initial_carry(variables):
+                return (variables["buffers"]["W_init1"],)
+
+            return ModelAdapter(model.init, apply, bundles, initial_carry)
+
         def apply(variables, bundle, carry):
             inits = carry if carry else ()
             out, finals = model.apply(
