@@ -13,10 +13,10 @@ DENSELY (host-side, once) and running the SpMM as three matmuls — a TPU
 runs dense tiles so much faster than scattered rows that a 98%-zeros
 dense block beats an exact sparse gather:
 
-    Yb = pad(Y).reshape(ncb, B*F)          # input, B-row panels
-    G  = oh_cw @ Yb                        # block gather  (nb, B, F)
-    P  = Ablk @ G                          # batched MXU   (nb, B, F)
-    Z  = oh_rw @ P.reshape(nb, B*F)        # block scatter (nrb, B, F)
+    YbT = pad(Y).panels^T                  # input, (ncb, F, B) lane-dense
+    G   = oh_cw @ YbT                      # block gather  (nb, F, B)
+    P   = G @ AblkT                        # batched MXU   (nb, F, B)
+    Z^T = oh_rw @ P.reshape(nb, F*B)       # block scatter (nrb, F, B)
 
 where oh_cw (nb, ncb) / oh_rw (nrb, nb) are 0/1 block-incidence
 matrices. Everything is a plain XLA dot: sequential DMA only (no random
@@ -68,14 +68,21 @@ def _apply_inc(inc, x2d: jax.Array, prec) -> jax.Array:
 
 @partial(
     jax.tree_util.register_dataclass,
-    data_fields=["Ablk", "oh_rw", "oh_cw"],
+    data_fields=["AblkT", "oh_rw", "oh_cw"],
     meta_fields=["n_in", "n_out", "block", "mode", "nrb", "ncb"],
 )
 @dataclasses.dataclass(frozen=True)
 class BlockDenseOperator:
     """A prepacked rectangular block-dense operator: (n_in, F) -> (n_out, F).
 
-    Ablk: (nb, B, B) dense blocks (f32, or bf16 in "bf16" mode).
+    AblkT: (nb, B, B) dense blocks, stored TRANSPOSED per block (f32, or
+        bf16 in "bf16" mode): the whole pipeline runs in (F, B) block
+        layout — panels transposed once at the operator boundary — so
+        the 128-wide block dimension is the lane axis of every
+        intermediate. With small F (the dominant case, F ~ 6) the naive
+        (B, F) layout pads each intermediate 128/F-fold in HBM; the
+        transposed layout's intermediates are lane-dense at identical
+        MXU cycle counts.
     oh_rw: output block-row incidence — a dense (nrb, nb) 0/1 matrix, or
         (when that would be large) a nested BlockDenseOperator over the
         staircase-sparse incidence stream: block ids are row-sorted, so
@@ -86,7 +93,7 @@ class BlockDenseOperator:
         "bf16" (bf16 blocks + gather traffic, f32 accumulation).
     """
 
-    Ablk: jax.Array
+    AblkT: jax.Array
     oh_rw: object
     oh_cw: object
     n_in: int
@@ -98,28 +105,31 @@ class BlockDenseOperator:
 
     @property
     def n_blocks(self) -> int:
-        return self.Ablk.shape[0]
+        return self.AblkT.shape[0]
 
     def __call__(self, flat: jax.Array) -> jax.Array:
         B = self.block
         F = flat.shape[-1]
         out_dtype = flat.dtype
         prec = _precision(self.mode)
-        nb = self.Ablk.shape[0]
+        nb = self.AblkT.shape[0]
         nrb, ncb = self.nrb, self.ncb
         if nb == 0:
             return jnp.zeros((self.n_out, F), out_dtype)
         Yp = jnp.pad(flat, ((0, ncb * B - self.n_in), (0, 0)))
-        Yb = Yp.reshape(ncb, B * F)
-        G = _apply_inc(self.oh_cw, Yb, prec).reshape(nb, B, F)
+        # (ncb, F, B) panels: one boundary transpose into lane-dense form.
+        YbT = Yp.reshape(ncb, B, F).transpose(0, 2, 1).reshape(ncb, F * B)
+        G = _apply_inc(self.oh_cw, YbT, prec).reshape(nb, F, B)
+        # P[b] = G[b] @ A[b]^T  <=>  (A[b] @ Y_panel[b])^T
         P = jnp.matmul(
-            self.Ablk,
-            G.astype(self.Ablk.dtype),
+            G.astype(self.AblkT.dtype),
+            self.AblkT,
             precision=prec,
             preferred_element_type=jnp.float32,
         )
-        Z = _apply_inc(self.oh_rw, P.reshape(nb, B * F), prec)
-        return Z.reshape(nrb * B, F)[: self.n_out].astype(out_dtype)
+        Z = _apply_inc(self.oh_rw, P.reshape(nb, F * B), prec)
+        Z = Z.reshape(nrb, F, B).transpose(0, 2, 1).reshape(nrb * B, F)
+        return Z[: self.n_out].astype(out_dtype)
 
 
 def estimate(
@@ -182,7 +192,7 @@ def make_flat_operator(
     dtype = jnp.bfloat16 if mode == "bf16" else jnp.float32
     if len(rows) == 0:
         return BlockDenseOperator(
-            Ablk=jnp.zeros((0, B, B), dtype),
+            AblkT=jnp.zeros((0, B, B), dtype),
             oh_rw=jnp.zeros((nrb, 0), jnp.float32),
             oh_cw=jnp.zeros((0, ncb), jnp.float32),
             n_in=int(n_in),
@@ -205,10 +215,12 @@ def make_flat_operator(
             f"block-dense tensor would be {need / 1e9:.2f} GB "
             f"({nb} blocks of {B}x{B}) > max_bytes; use a sparse operator"
         )
-    Ablk = np.zeros((nb, B, B), np.float32)
-    # Duplicate (row, col) entries must ADD (np fancy assignment keeps
-    # only the last write), so accumulate explicitly.
-    np.add.at(Ablk, (inv, rs % B, cs % B), vs.astype(np.float64))
+    AblkT = np.zeros((nb, B, B), np.float32)
+    # Transposed per-block storage (col-major within the block — see the
+    # operator docstring). Duplicate (row, col) entries must ADD (np
+    # fancy assignment keeps only the last write), so accumulate
+    # explicitly.
+    np.add.at(AblkT, (inv, cs % B, rs % B), vs.astype(np.float64))
     rw = (ub // ncb).astype(np.int64)
     cw = (ub % ncb).astype(np.int64)
 
@@ -228,7 +240,7 @@ def make_flat_operator(
 
     ar = np.arange(nb)
     return BlockDenseOperator(
-        Ablk=jnp.asarray(Ablk, dtype),
+        AblkT=jnp.asarray(AblkT, dtype),
         oh_rw=incidence(rw, ar, nrb, nb),
         oh_cw=incidence(ar, cw, nb, ncb),
         n_in=int(n_in),
