@@ -79,6 +79,25 @@ class TestForwardParity:
             np.asarray(out_sh), np.asarray(out_ref), atol=2e-5
         )
 
+    @pytest.mark.parametrize("l2_impl", ["blockdense", "gather"])
+    def test_tmgcn2_l2_impls(self, problem, mesh_shape, l2_impl):
+        """Per-shard block-dense layer-2 == gather/segment layer-2."""
+        A, M, X, edges, adj, feats, edict = problem
+        model = TMGCN2(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 6, 2))
+        ref = make_edge_adapter(model, adj, feats, edict, M=M)
+        mesh = make_mesh(*mesh_shape)
+        sh = make_sharded_edge_adapter(
+            model, adj, feats, edict, M, mesh, l2_impl=l2_impl
+        )
+        if l2_impl == "blockdense":
+            assert "l2op_parts" in sh.bundles["train"]
+        variables = ref.init(jax.random.PRNGKey(0))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(sh.init(jax.random.PRNGKey(0)), sh.bundles["train"], ())
+        np.testing.assert_allclose(
+            np.asarray(out_sh), np.asarray(out_ref), atol=2e-5
+        )
+
 
 class TestDropLastSlice:
     def test_lp_convention(self, problem):

@@ -101,7 +101,7 @@ def bucket_edges_by_time(
 def _prepare_banded_window(A, X, Mw, mesh, n_graph, n_time, halo):
     """Sharded per-window tensors for the banded TM-GCN propagation:
     row-partitioned adjacency, time-sharded features and local M blocks.
-    Returns (bundle, T_pad)."""
+    Returns (bundle, T_pad, A_sh)."""
     T = A.n_slices
     T_pad = _round_up(T, n_time)
     if T_pad != T:
@@ -125,7 +125,7 @@ def _prepare_banded_window(A, X, Mw, mesh, n_graph, n_time, halo):
         "X": put(jnp.asarray(X, dt), spec_T),
         "m_blocks": put(jnp.asarray(m_blocks, dt), spec_T),
     }
-    return bundle, T_pad
+    return bundle, T_pad, A_sh
 
 
 @dataclasses.dataclass(frozen=True)
@@ -137,6 +137,96 @@ class _ShardCfg:
     n_layers: int
     nonlin2: str
     dtype: object
+    # Block-dense layer-2 mode string ("exact"/"fast"/"bf16"), or None
+    # when the gather/segment path is used instead.
+    l2_bd: str | None = None
+
+
+def _l2_shard_streams(A_sh, n_time: int):
+    """Yield each (time, graph) shard's flat layer-2 entry stream.
+
+    Rows are shard-local over its T_loc slices; columns index the
+    graph-all-gathered per-slice feature rows. Returns the common
+    (n_in, n_out) too.
+    """
+    rows = np.asarray(A_sh.rows)
+    cols = np.asarray(A_sh.cols)
+    vals = np.asarray(A_sh.vals)
+    nnz = np.asarray(A_sh.nnz)
+    T_pad, G, _ = rows.shape
+    t_loc = T_pad // n_time
+    n_local = A_sh.n_local_rows
+    N_pad = n_local * G  # graph-all-gathered row count per slice
+    streams = []
+    for ti in range(n_time):
+        for gi in range(G):
+            rs, cs, vs = [], [], []
+            for k in range(t_loc):
+                t = ti * t_loc + k
+                n = int(nnz[t, gi])
+                rs.append(rows[t, gi, :n].astype(np.int64) + k * n_local)
+                cs.append(cols[t, gi, :n].astype(np.int64) + k * N_pad)
+                vs.append(vals[t, gi, :n])
+            streams.append((
+                np.concatenate(rs) if rs else np.zeros(0, np.int64),
+                np.concatenate(cs) if cs else np.zeros(0, np.int64),
+                np.concatenate(vs) if vs else np.zeros(0, np.float32),
+            ))
+    return streams, t_loc * N_pad, t_loc * n_local
+
+
+def _l2_blockdense_ratio(A_sh, n_time: int) -> float:
+    """Stacked-block bytes vs tile-gather floor, summed over shards."""
+    from tmgcn_tpu.ops.spmm_blockdense import estimate
+
+    streams, _, _ = _l2_shard_streams(A_sh, n_time)
+    ests = [estimate(r, c) for r, c, _ in streams if len(r)]
+    if not ests:
+        return float("inf")
+    bytes_ = sum(e["block_bytes"] for e in ests)
+    floor = sum(e["gather_floor_bytes"] for e in ests)
+    return bytes_ / max(floor, 1)
+
+
+def _pack_l2_blockdense(A_sh, n_time: int, mode: str = "exact") -> dict:
+    """Per-(time, graph)-shard block-dense layer-2 operators, stacked.
+
+    Each shard's local entry stream packs into its own
+    BlockDenseOperator; shards are padded to a common block count (zero
+    blocks scatter nothing) and stacked on two leading mesh axes so
+    shard_map hands each device its own operator. Incidences are forced
+    dense for shape uniformity.
+    """
+    from tmgcn_tpu.ops.spmm_blockdense import make_flat_operator
+
+    G = np.asarray(A_sh.rows).shape[1]
+    streams, n_in, n_out = _l2_shard_streams(A_sh, n_time)
+    ops = [
+        make_flat_operator(
+            r, c, v, n_in=n_in, n_out=n_out, mode=mode,
+            max_bytes=None, dense_limit=None,
+        )
+        for r, c, v in streams
+    ]
+    nb_max = max(op.n_blocks for op in ops)
+
+    def padded(op):
+        pad = nb_max - op.n_blocks
+        return (
+            np.pad(np.asarray(op.AblkT), ((0, pad), (0, 0), (0, 0))),
+            np.pad(np.asarray(op.oh_rw), ((0, 0), (0, pad))),
+            np.pad(np.asarray(op.oh_cw), ((0, pad), (0, 0))),
+        )
+
+    parts = [padded(op) for op in ops]
+    stack = lambda i: np.stack([p[i] for p in parts]).reshape(
+        (n_time, G) + parts[0][i].shape
+    )
+    return {
+        "l2_ablkT": stack(0),
+        "l2_ohrw": stack(1),
+        "l2_ohcw": stack(2),
+    }
 
 
 def _make_propagate(mesh: Mesh, sc: _ShardCfg):
@@ -167,7 +257,7 @@ def _make_propagate(mesh: Mesh, sc: _ShardCfg):
 def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
     """shard_map'd per-step forward: cached AtXt shard -> bucket logits."""
 
-    def local(params, H_loc, rows, cols, vals, edges_b, mask):
+    def local(params, H_loc, rows, cols, vals, l2op_parts, edges_b, mask):
         rows, cols, vals = rows[:, 0], cols[:, 0], vals[:, 0]
         edges_b, mask = edges_b[0], mask[0]
         dtype = sc.dtype
@@ -180,15 +270,41 @@ def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
             # Layer-2 SpMM gathers full-graph rows of this shard's
             # slices: one all-gather along graph (F1-wide — small).
             Y_rows = jax.lax.all_gather(Y, GRAPH_AXIS, axis=1, tiled=True)
-            Z = jax.vmap(
-                lambda r, c, v, x: _local_spmm(r, c, v, x, sc.n_local_rows)
-            )(rows, cols, vals, Y_rows)
+            T_loc, N_pad, F1 = Y_rows.shape
+            if sc.l2_bd is not None:
+                # This shard's own block-dense operator (dense MXU
+                # tiles, no per-row gather/scatter). Static metadata
+                # comes from the (static) operand shapes, so the same
+                # shard_map serves windows of different lengths.
+                from tmgcn_tpu.ops.spmm_blockdense import BlockDenseOperator
+
+                ablkT = l2op_parts["l2_ablkT"][0, 0]
+                ohrw = l2op_parts["l2_ohrw"][0, 0]
+                ohcw = l2op_parts["l2_ohcw"][0, 0]
+                op = BlockDenseOperator(
+                    AblkT=ablkT, oh_rw=ohrw, oh_cw=ohcw,
+                    n_in=T_loc * N_pad, n_out=T_loc * sc.n_local_rows,
+                    block=ablkT.shape[-1], mode=sc.l2_bd,
+                    nrb=ohrw.shape[0], ncb=ohcw.shape[-1],
+                )
+                Z = op(Y_rows.reshape(T_loc * N_pad, F1)).reshape(
+                    T_loc, sc.n_local_rows, F1
+                )
+            else:
+                Z = jax.vmap(
+                    lambda r, c, v, x: _local_spmm(r, c, v, x, sc.n_local_rows)
+                )(rows, cols, vals, Y_rows)
             Y_loc = jnp.matmul(Z.astype(dtype), params["W2"].astype(dtype))
         T_loc, N_loc, F = Y_loc.shape
         flat = Y_loc.reshape(T_loc * N_loc, F)
         return readout_partitioned(flat, edges_b, mask, U, sc.n_local_rows)[None]
 
     spec_A = P(TIME_AXIS, GRAPH_AXIS, None)
+    l2_spec = {
+        "l2_ablkT": P(TIME_AXIS, GRAPH_AXIS, None, None, None),
+        "l2_ohrw": P(TIME_AXIS, GRAPH_AXIS, None, None),
+        "l2_ohcw": P(TIME_AXIS, GRAPH_AXIS, None, None),
+    } if sc.l2_bd is not None else {}
     return shard_map(
         local,
         mesh=mesh,
@@ -196,6 +312,7 @@ def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
             P(),  # params (replicated)
             P(TIME_AXIS, GRAPH_AXIS, None),  # cached AtXt
             spec_A, spec_A, spec_A,
+            l2_spec,  # per-shard block-dense operator parts (or empty)
             P(TIME_AXIS, None, None),  # edge buckets
             P(TIME_AXIS, None),  # bucket mask
         ),
@@ -212,6 +329,7 @@ def make_sharded_edge_adapter(
     M: np.ndarray,
     mesh: Mesh,
     drop_last_slice: bool = False,
+    l2_impl: str = "auto",
 ) -> ModelAdapter:
     """Sharded drop-in for tasks.adapters.make_edge_adapter.
 
@@ -220,6 +338,12 @@ def make_sharded_edge_adapter(
     over a (graph x time) mesh, and the recurrent families (EvolveGCN,
     WD-GCN) over the graph axis (their time recurrence is sequential;
     require n_time == 1).
+
+    l2_impl selects the per-epoch layer-2 SpMM implementation:
+    "blockdense" (each shard applies its own block-dense operator),
+    "gather" (per-slice gather/segment-sum), or "auto" (block-dense
+    whenever the stacked block tensors move fewer bytes than the
+    tile-gather floor — same criterion as the single-device adapter).
     """
     if isinstance(model, (EvolveGCN, WDGCN)):
         return _make_recurrent_sharded_adapter(
@@ -249,6 +373,7 @@ def make_sharded_edge_adapter(
     halo = band_offsets(M)[0]
 
     bundles = {}
+    shards = {}
     for w in WINDOWS:
         A, X = adj[w], np.asarray(feats[w])
         Mw = M
@@ -256,7 +381,10 @@ def make_sharded_edge_adapter(
             A = A.slice_window(0, A.n_slices - 1)
             X = X[:-1]
             Mw = Mw[:-1, :-1]
-        bundle, T_pad = _prepare_banded_window(A, X, Mw, mesh, n_graph, n_time, halo)
+        bundle, T_pad, A_sh = _prepare_banded_window(
+            A, X, Mw, mesh, n_graph, n_time, halo
+        )
+        shards[w] = A_sh
         e_b, e_mask, e_pos = bucket_edges_by_time(edges[w], T_pad, n_time)
 
         put = jax.device_put
@@ -269,6 +397,30 @@ def make_sharded_edge_adapter(
         )
         bundles[w] = bundle
 
+    l2_bd = None
+    if n_layers == 2:
+        if l2_impl == "auto":
+            ratio = _l2_blockdense_ratio(shards["train"], n_time)
+            l2_impl = "blockdense" if ratio < 0.5 else "gather"
+        if l2_impl == "blockdense":
+            l2_bd = "exact"
+        elif l2_impl != "gather":
+            raise ValueError(f"unknown l2_impl: {l2_impl!r}")
+        if l2_bd is not None:
+            spec = {
+                "l2_ablkT": NamedSharding(
+                    mesh, P(TIME_AXIS, GRAPH_AXIS, None, None, None)
+                ),
+                "l2_ohrw": NamedSharding(mesh, P(TIME_AXIS, GRAPH_AXIS, None, None)),
+                "l2_ohcw": NamedSharding(mesh, P(TIME_AXIS, GRAPH_AXIS, None, None)),
+            }
+            for w in WINDOWS:
+                parts = _pack_l2_blockdense(shards[w], n_time, mode=l2_bd)
+                bundles[w]["l2op_parts"] = {
+                    k: jax.device_put(jnp.asarray(v), spec[k])
+                    for k, v in parts.items()
+                }
+
     sc = _ShardCfg(
         n_graph=n_graph,
         n_time=n_time,
@@ -277,6 +429,7 @@ def make_sharded_edge_adapter(
         n_layers=n_layers,
         nonlin2=nonlin2,
         dtype=model.dtype,
+        l2_bd=l2_bd,
     )
     propagate = _make_propagate(mesh, sc)
     step_forward = _make_step_forward(mesh, sc)
@@ -297,6 +450,7 @@ def make_sharded_edge_adapter(
             bundle["rows"],
             bundle["cols"],
             bundle["vals"],
+            bundle.get("l2op_parts", {}),
             bundle["edges_b"],
             bundle["mask"],
         )
