@@ -37,7 +37,6 @@ warnings.filterwarnings("ignore", message=".*[Ss]parse.*")
 
 N_TIMED = 400
 N_TIMED2 = 50
-N_TIMED2_SLOW = 8  # full-row jnp path is ~0.4 s/epoch; keep the budget sane
 N_WARMUP = 3
 N_TORCH = 10
 

@@ -57,10 +57,19 @@ def spmm(A: TemporalCOO, X: jax.Array, impl: str = "jnp") -> jax.Array:
         # models are agnostic to which implementation their adjacency
         # carries; adapters decide at build time.
         return A(X)
-    if impl == "pallas":
-        from tmgcn_tpu.kernels.spmm_pallas import spmm_pallas
+    if impl in ("pallas", "pallas_bf16"):
+        from tmgcn_tpu.kernels.spmm_pallas import make_operator, spmm_pallas
 
-        return spmm_pallas(A, X)
+        if impl == "pallas":
+            return spmm_pallas(A, X)
+        if isinstance(A.rows, jax.core.Tracer):
+            raise ValueError(
+                "spmm(impl='pallas_bf16') needs host-side packing; build "
+                "an operator with make_operator(A, ...) outside jit"
+            )
+        return make_operator(
+            A, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
+        )(X)
     if impl == "rowsplit":
         from tmgcn_tpu.ops.spmm_rowsplit import make_operator
 

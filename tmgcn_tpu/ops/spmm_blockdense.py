@@ -302,20 +302,10 @@ def make_operator(
     max_bytes defaults higher than the flat builder's: full-graph
     operators are the large-but-profitable case this exists for.
     """
-    rows_np = np.asarray(A.rows)
-    cols_np = np.asarray(A.cols)
-    vals_np = np.asarray(A.vals)
-    nnz_np = np.asarray(A.nnz)
+    from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream
+
+    g_rows, g_cols, g_vals = flatten_stream(A)
     T, N = A.n_slices, A.n_nodes
-    parts_r, parts_c, parts_v = [], [], []
-    for t in range(T):
-        n = int(nnz_np[t])
-        parts_r.append(rows_np[t, :n].astype(np.int64) + t * N)
-        parts_c.append(cols_np[t, :n].astype(np.int64) + t * N)
-        parts_v.append(vals_np[t, :n])
-    g_rows = np.concatenate(parts_r) if parts_r else np.zeros(0, np.int64)
-    g_cols = np.concatenate(parts_c) if parts_c else np.zeros(0, np.int64)
-    g_vals = np.concatenate(parts_v) if parts_v else np.zeros(0, np.float32)
     return TemporalBlockDenseOperator(
         T=T,
         N=N,

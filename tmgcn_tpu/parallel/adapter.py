@@ -355,12 +355,22 @@ def make_sharded_edge_adapter(
                 "sharded TMGCN2 supports the default path "
                 "(condensed_W, no Minv/apply_M_twice)"
             )
+        if model.interlayer_dtype is not None:
+            raise NotImplementedError(
+                "sharded TMGCN2 does not reproduce interlayer_dtype (the "
+                "f64 parity cast); use the single-device adapter"
+            )
         n_layers = 2
         nonlin2 = model.nonlin2
     elif isinstance(model, TMGCN):
         if model.use_Minv or not model.condensed_W:
             raise NotImplementedError(
                 "sharded TMGCN supports condensed_W without Minv"
+            )
+        if getattr(model, "readout", "concat") != "concat":
+            raise NotImplementedError(
+                "sharded TMGCN supports the concat readout (the "
+                "partitioned readout splits U into src/trg halves)"
             )
         n_layers = 1
         nonlin2 = "relu"

@@ -52,6 +52,9 @@ def save_artifact(path: str | Path, data: PreprocessedData) -> None:
     # (experiment_chess_our.py:38-45 loads tensor_idx/tensor_labels).
     out["tensor_idx"] = out["A_labels_subs"].astype(np.int64)
     out["tensor_labels"] = out["A_labels_vals"]
+    # Explicit subscript convention (extra keys are ignored by the
+    # reference drivers); load_artifact skips base auto-detection.
+    out["subs_base"] = np.asarray([[1]], np.int64)
     sio.savemat(str(path), out)
 
 
@@ -85,9 +88,20 @@ def load_artifact(
         labels_subs = labels_subs.T
     # MATLAB-convention artifacts (read_data.m, and ours) store 1-based
     # subscripts; the reference's own Python port saves raw torch
-    # indices, which are 0-based (read_data.py:229-246). Detect: a
-    # 0-based file has slice id 0 somewhere.
-    base = 0 if int(labels_subs[:, 0].min()) == 0 else 1
+    # indices, which are 0-based (read_data.py:229-246). Our own
+    # artifacts carry an explicit sentinel; foreign files are detected
+    # by the minimum over EVERY subscript column of every tensor (a
+    # 0-based file has node id 0 or slice id 0 somewhere — keying on
+    # the label slice column alone misreads files whose first slice
+    # happens to carry no labeled edges).
+    if "subs_base" in content:
+        base = int(np.asarray(content["subs_base"]).ravel()[0])
+    else:
+        lo = int(labels_subs.min())
+        for k in ("A_subs", "C_subs"):
+            if k in content:
+                lo = min(lo, int(np.asarray(content[k], dtype=np.int64).min()))
+        base = 0 if lo == 0 else 1
     # Max subscript undercounts T when trailing slices carry no labeled
     # edges; min_slices (s_train+s_val+s_test) restores the true extent.
     T = int(labels_subs[:, 0].max()) + 1 - base

@@ -84,7 +84,12 @@ def generate(name: str, data_dir: str | Path, seed: int = 0) -> Path:
     """Write dataset ``name``'s synthetic raw file; returns its path."""
     spec: DatasetSpec = REGISTRY[name]
     s = SYNTH[name]
-    rng = np.random.default_rng(seed + hash(name) % 1000)
+    # Per-name salt must be stable ACROSS processes (Python's str hash
+    # is randomized per interpreter), or the committed raw files could
+    # never be regenerated from the seed.
+    import zlib
+
+    rng = np.random.default_rng(seed + zlib.crc32(name.encode()) % 1000)
     out_dir = Path(data_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
     path = out_dir / spec.filename

@@ -112,6 +112,9 @@ def _build_restricted_layer2(
     idx = np.minimum(idx, len(uniq) - 1)
     member = uniq[idx] == g_rows
     used = np.unique(g_cols[member])
+    rows_c = idx[member]
+    cols_c = np.searchsorted(used, g_cols[member])
+    vals_c = g_vals[member]
     if operator == "auto":
         # On TPU, prefer the block-dense operator: the restricted
         # stream is block-local (node ids ordered by appearance, banded
@@ -124,7 +127,7 @@ def _build_restricted_layer2(
         if jax.default_backend() == "tpu":
             from tmgcn_tpu.ops.spmm_blockdense import estimate
 
-            est = estimate(idx[member], np.searchsorted(used, g_cols[member]))
+            est = estimate(rows_c, cols_c)
             operator = "blockdense" if est["ratio"] < 0.5 else "pallas"
         else:
             operator = "rowsplit"
@@ -134,23 +137,24 @@ def _build_restricted_layer2(
 
         try:
             op = mk_bd(
-                idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
+                rows_c, cols_c, vals_c,
                 n_in=len(used), n_out=len(uniq),
                 mode="bf16" if operator.endswith("bf16") else "exact",
             )
         except ValueError:
             operator = "pallas"  # over the block-tensor byte budget
-    if op is None and operator == "pallas":
+    if op is None and operator in ("pallas", "pallas_bf16"):
         from tmgcn_tpu.kernels.spmm_pallas import make_flat_operator as mk_pallas
 
         op = mk_pallas(
-            idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
+            rows_c, cols_c, vals_c,
             n_in=len(used), n_out=len(uniq), chunk=512, window=256,
             sort_cols=True,
+            gather_dtype="bfloat16" if operator == "pallas_bf16" else None,
         )
     if op is None:
         op = make_flat_operator(
-            idx[member], np.searchsorted(used, g_cols[member]), g_vals[member],
+            rows_c, cols_c, vals_c,
             n_in=len(used), n_out=len(uniq), k=4,
         )
     bundle["l2op"] = jax.device_put(op)
@@ -289,6 +293,18 @@ def make_edge_adapter(
         and isinstance(model, (TMGCN, TMGCN2, KWGCN, WDGCN))
         else None
     )
+    restricted2 = (
+        isinstance(model, TMGCN2)
+        and model.condensed_W
+        and not model.use_Minv
+        and not model.apply_M_twice
+    )
+    if restricted2:
+        # The restricted path runs the square operator exactly once (the
+        # cached layer-1 propagation), so prepacking it would be pure
+        # build cost; the impl choice goes to the restricted layer-2
+        # operator instead.
+        spmm_operator = None
     bundles = _prepare_bundles(adj, feats, edges, M, drop_last_slice, spmm_operator)
 
     if isinstance(model, (TMGCN, TMGCN2)):
@@ -315,20 +331,17 @@ def make_edge_adapter(
 
             return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
-        if (
-            isinstance(model, TMGCN2)
-            and model.condensed_W
-            and not model.use_Minv
-            and not model.apply_M_twice
-        ):
+        if restricted2:
             # Readout-restricted layer 2: the per-epoch SpMM computes
             # only endpoint rows (identical math — row selection of the
-            # readout commutes with layer-2's SpMM output).
+            # readout commutes with layer-2's SpMM output). The model's
+            # spmm_impl picks the restricted operator; "jnp" = auto.
             from tmgcn_tpu.models.common import nonlinearity
 
             for w in WINDOWS:
                 _build_restricted_layer2(
-                    bundles[w], adj[w], np.asarray(edges[w]), drop_last_slice
+                    bundles[w], adj[w], np.asarray(edges[w]), drop_last_slice,
+                    operator=impl if impl in OPERATOR_IMPLS else "auto",
                 )
 
             def apply(variables, bundle, carry):
@@ -402,7 +415,19 @@ def make_edge_adapter(
         for b in bundles.values():
             b["cached_ax"] = model.propagate(b["adj"], b["X"])
 
-        if model.n_layers == 1 and model.store_dtype == model.dtype:
+        onehot_bytes = max(
+            b["cached_ax"].shape[0] * np.asarray(edges[w]).shape[1] * 4
+            for w, b in bundles.items()
+        )
+        if (
+            model.n_layers == 1
+            and model.store_dtype == model.dtype
+            # The (T, E) slice one-hot is worth it until it rivals the
+            # tensors the fast path avoids (LP's 20x-augmented edge sets
+            # at full T would be ~100s of MB; the readout-plan generic
+            # path wins there).
+            and onehot_bytes <= 128 << 20
+        ):
             # Gather-free fast path (the commutation trick of the TM-GCN
             # 1-layer path, extended to per-slice weights): logits[e] =
             # ax_src[e] @ (W_{t_e} @ U_src) + ax_trg[e] @ (W_{t_e} @

@@ -117,12 +117,14 @@ def run(max_devices: int | None = None, force_cpu: bool = False) -> list[dict]:
                 x = jnp.tanh(x @ x)
             return x
 
+        # Scalar fetch, not block_until_ready: the latter returns early
+        # through the axon tunnel (CLAUDE.md timing rule).
         ctrl_out = ctrl_step(ctrl)
-        ctrl_out.block_until_ready()
+        float(ctrl_out.sum())
         t0 = time.perf_counter()
         for _ in range(10):
             ctrl_out = ctrl_step(ctrl_out)
-        ctrl_out.block_until_ready()
+        float(ctrl_out.sum())
         ctrl_dt = (time.perf_counter() - t0) / 10
         ctrl_rate = n_dev / ctrl_dt  # per-device-work units per second
         if control_base is None:

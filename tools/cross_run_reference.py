@@ -106,7 +106,13 @@ def run_reference_driver(
     if post_load is not None:
         post_load(ehf)
     src = (REFERENCE_DIR / f"{driver}.py").read_text()
-    for old, new in patches + DTYPE_TRANSFORMS:
+    for old, new in patches:
+        # Driver patches (epochs/paths/dataset) are load-bearing: a
+        # non-matching pattern means a silently unpatched run, so fail.
+        if old not in src:
+            raise RuntimeError(f"{driver}: driver patch not found: {old!r}")
+        src = src.replace(old, new)
+    for old, new in DTYPE_TRANSFORMS:
         if old not in src:
             continue  # dtype transforms are per-driver best-effort
         src = src.replace(old, new)
