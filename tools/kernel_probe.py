@@ -147,6 +147,51 @@ def main() -> int:
             X,
         )
 
+    # --- Block-dense: structure-dependence demo. On the RANDOM graph
+    # above nearly every nonzero owns a block, so the byte estimate
+    # correctly rejects it; on a block-LOCAL graph of the same size
+    # (what the real datasets look like — appearance-ordered ids,
+    # banded M) the dense-tile operator passes the gather bound.
+    from tmgcn_tpu.ops.spmm_blockdense import estimate
+    from tmgcn_tpu.ops.spmm_blockdense import make_operator as make_bd
+    from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream
+
+    g_r, g_c, _ = flatten_stream(A)
+    out["blockdense_random_ratio"] = round(estimate(g_r, g_c)["ratio"], 2)
+    print(f"blockdense byte ratio, random graph: "
+          f"{out['blockdense_random_ratio']} (>= 0.5 -> refused)", flush=True)
+
+    centers = rng.integers(0, N - 80, (T, nnz_slice // 24 + 1))
+    pick = rng.integers(0, centers.shape[1], (T, nnz_slice))
+    rc = np.clip(
+        np.take_along_axis(centers, pick, 1) + rng.integers(-40, 40, (T, nnz_slice)),
+        0, N - 1,
+    )
+    cc2 = np.clip(
+        np.take_along_axis(centers, pick, 1) + rng.integers(-40, 40, (T, nnz_slice)),
+        0, N - 1,
+    )
+    A2 = TemporalCOO.from_global_coo(
+        t_idx, np.sort(rc, axis=1).ravel(), cc2.ravel(), v, T, N, pad_multiple=128
+    )
+    g_r2, g_c2, _ = flatten_stream(A2)
+    out["clustered_nnz"] = int(np.asarray(A2.nnz).sum())  # Mnnz/s rows use `nnz`
+    out["blockdense_clustered_ratio"] = round(estimate(g_r2, g_c2)["ratio"], 3)
+    print(f"blockdense byte ratio, clustered graph: "
+          f"{out['blockdense_clustered_ratio']}", flush=True)
+    for name, kw in {
+        "clustered_pallas_bf16": None,
+        "clustered_blockdense": dict(mode="exact"),
+        "clustered_blockdense_bf16": dict(mode="bf16"),
+    }.items():
+        if kw is None:
+            op2 = jax.device_put(make_operator(
+                A2, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
+            ))
+        else:
+            op2 = jax.device_put(make_bd(A2, **kw))
+        record(name, lambda op, x: op(x).sum(), op2, X)
+
     (REPO / "results").mkdir(exist_ok=True)
     (REPO / "results/kernel_probe.json").write_text(json.dumps(out, indent=1))
     print("wrote results/kernel_probe.json")
