@@ -215,12 +215,20 @@ def make_flat_operator(
             f"block-dense tensor would be {need / 1e9:.2f} GB "
             f"({nb} blocks of {B}x{B}) > max_bytes; use a sparse operator"
         )
-    AblkT = np.zeros((nb, B, B), np.float32)
     # Transposed per-block storage (col-major within the block — see the
-    # operator docstring). Duplicate (row, col) entries must ADD (np
-    # fancy assignment keeps only the last write), so accumulate
-    # explicitly.
-    np.add.at(AblkT, (inv, cs % B, rs % B), vs.astype(np.float64))
+    # operator docstring). Duplicate (row, col) entries must ADD;
+    # bincount over the flattened index is ~10x faster than np.add.at
+    # but allocates float64 (2x the f32 tensor), so fall back to add.at
+    # for very large block tensors.
+    n_cells = nb * B * B
+    if n_cells <= 1 << 28:  # 2 GB f64 transient cap
+        flat_idx = (inv.astype(np.int64) * B + cs % B) * B + rs % B
+        AblkT = np.bincount(
+            flat_idx, weights=vs.astype(np.float64), minlength=n_cells
+        ).astype(np.float32).reshape(nb, B, B)
+    else:
+        AblkT = np.zeros((nb, B, B), np.float32)
+        np.add.at(AblkT, (inv, cs % B, rs % B), vs.astype(np.float64))
     rw = (ub // ncb).astype(np.int64)
     cw = (ub % ncb).astype(np.int64)
 
