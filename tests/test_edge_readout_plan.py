@@ -101,6 +101,31 @@ def test_evolvegcn_adapter_fast_path_matches_model():
     np.testing.assert_allclose(
         np.asarray(out_fast2), np.asarray(out_ref2), rtol=1e-5, atol=1e-5
     )
+    # parameter gradients agree too (the training path)
+    tgt = jnp.asarray(rng.standard_normal((E, 3)).astype(np.float32))
+
+    def loss_fast(p):
+        out, _ = adapter.apply(
+            {"params": p, "buffers": variables["buffers"]},
+            adapter.bundles["train"], (),
+        )
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_ref(p):
+        out, _ = model.apply(
+            {"params": p, "buffers": variables["buffers"]},
+            A, jnp.asarray(X), jnp.asarray(edges["train"]), AX=AX,
+        )
+        return jnp.sum((out - tgt) ** 2)
+
+    g_fast = jax.grad(loss_fast)(variables["params"])
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        ),
+        g_fast, g_ref,
+    )
 
 
 def test_evolvegcn_readout_op_matches_direct():
