@@ -86,16 +86,24 @@ def _cmd_run(args) -> int:
     alphas = tuple(args.alphas) if args.alphas else None
     mesh_shape = _parse_mesh(args.mesh) if args.mesh else None
     t0 = time.time()
-    out = run_experiment(
-        cfg,
-        data_dir=args.data_dir,
-        artifact=args.artifact,
-        n_epochs=args.epochs,
-        alpha_vec=alphas,
-        verbose=not args.quiet,
-        checkpoint_dir=args.checkpoint_dir,
-        mesh_shape=mesh_shape,
-    )
+    import contextlib
+
+    profile_cm = contextlib.nullcontext()
+    if args.profile:
+        from tmgcn_tpu.utils.profiling import trace
+
+        profile_cm = trace(args.profile)
+    with profile_cm:
+        out = run_experiment(
+            cfg,
+            data_dir=args.data_dir,
+            artifact=args.artifact,
+            n_epochs=args.epochs,
+            alpha_vec=alphas,
+            verbose=not args.quiet,
+            checkpoint_dir=args.checkpoint_dir,
+            mesh_shape=mesh_shape,
+        )
     elapsed = time.time() - t0
     print(f"{cfg.name}: {len(out['results'])} runs in {elapsed:.1f}s")
 
@@ -158,6 +166,12 @@ def main(argv=None) -> int:
         choices=["jnp", "rowsplit", "pallas", "pallas_bf16",
                  "blockdense", "blockdense_bf16"],
         help="override the preset's SpMM implementation",
+    )
+    rp.add_argument(
+        "--profile",
+        metavar="DIR",
+        help="capture a JAX profiler trace of the run into DIR "
+             "(view with TensorBoard or Perfetto)",
     )
     rp.add_argument("--seed", type=int)
     rp.add_argument("--debug-nans", action="store_true",
