@@ -1,0 +1,72 @@
+"""Verify flow per .claude/skills/verify: drive the package on the real TPU.
+
+Exercises the NEW blockdense SpMM path end-to-end: TemporalCOO from a
+random dense (T,N,N), M, m_transform -> Ct, degree features, TMGCN2
+adapter (restricted layer-2 via blockdense on TPU) + a few sgd steps.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+print("devices:", jax.devices(), flush=True)
+
+from tmgcn_tpu.core.sparse import TemporalCOO
+from tmgcn_tpu.core.mmatrix import make_m_matrix
+from tmgcn_tpu.ops.mtransform import m_transform_coo
+from tmgcn_tpu.ops.degree import degree_features
+from tmgcn_tpu.models.tmgcn import TMGCN2
+from tmgcn_tpu.tasks.adapters import make_edge_adapter
+from tmgcn_tpu.train.losses import weighted_cross_entropy
+
+rng = np.random.default_rng(0)
+T, N, F0 = 8, 256, 2
+dense = (rng.random((T, N, N)) < 0.02).astype(np.float32)
+A = TemporalCOO.from_dense(dense)
+M = make_m_matrix(T, n_diagonals=4)
+Ct = m_transform_coo(A, M)
+X = degree_features(A)
+E = 500
+edges = {
+    w: np.stack([
+        rng.integers(0, T, E), rng.integers(0, N, E), rng.integers(0, N, E)
+    ]).astype(np.int64)
+    for w in ("train", "val", "test")
+}
+model = TMGCN2(n_slices=T, in_feat=F0, hidden_feat=(6, 6, 3))
+adapter = make_edge_adapter(
+    model,
+    {w: Ct for w in ("train", "val", "test")},
+    {w: X for w in ("train", "val", "test")},
+    edges,
+    M=M,
+)
+op = adapter.bundles["train"].get("l2op")
+print("restricted l2op:", type(op).__name__, flush=True)
+variables = adapter.init(jax.random.PRNGKey(0))
+params = variables["params"]
+tgt = jnp.asarray(rng.integers(0, 3, E))
+cw = jnp.ones(3) / 3
+opt = optax.sgd(0.1)
+state = opt.init(params)
+
+
+@jax.jit
+def step(params, state, bundle):
+    def loss_fn(p):
+        logits, _ = adapter.apply({"params": p}, bundle, ())
+        return weighted_cross_entropy(logits, tgt, cw)
+
+    loss, grads = jax.value_and_grad(loss_fn)(params)
+    updates, state2 = opt.update(grads, state)
+    return optax.apply_updates(params, updates), state2, loss
+
+
+bundle = adapter.bundles["train"]
+for i in range(5):
+    params, state, loss = step(params, state, bundle)
+    print(f"step {i}: loss {float(loss):.6f}", flush=True)
+print("loss devices:", loss.devices(), flush=True)
+assert np.isfinite(float(loss))
+print("VERIFY OK", flush=True)
