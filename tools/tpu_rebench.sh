@@ -10,7 +10,7 @@ cd "$(dirname "$0")/.."
   echo "=== per-family epoch bench ==="
   timeout 1800 python tools/bench_models.py --n 400 || echo "bench_models FAILED"
   echo "=== full-row 2-layer bench ==="
-  timeout 2400 python tools/bench_full2.py --no-torch || echo "bench_full2 FAILED"
+  timeout 2400 python tools/bench_full2.py || echo "bench_full2 FAILED"
   echo "=== kernel probe ==="
   timeout 1800 python tools/kernel_probe.py || echo "kernel_probe FAILED"
   echo "=== driver bench ==="
