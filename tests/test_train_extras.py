@@ -155,6 +155,53 @@ class TestResume:
         # Identical training losses after the resume point.
         np.testing.assert_allclose(resumed[4:, 3], full[4:, 3], rtol=1e-10)
 
+    def test_sharded_classification_resumes_from_checkpoint(self, tmp_path):
+        """Resume works when the adapter/variables are mesh-sharded."""
+        import jax.numpy as jnp
+
+        from tmgcn_tpu.core.mmatrix import make_m_matrix
+        from tmgcn_tpu.core.sparse import TemporalCOO
+        from tmgcn_tpu.models.tmgcn import TMGCN
+        from tmgcn_tpu.parallel.adapter import make_sharded_edge_adapter
+        from tmgcn_tpu.parallel.mesh import make_mesh
+        from tmgcn_tpu.tasks.windows import EdgeSplit
+        from tmgcn_tpu.train.loop import TrainConfig, run_edge_classification
+
+        rng = np.random.default_rng(9)
+        T, N = 4, 32
+        dense = (rng.random((T, N, N)) < 0.15) * 1.0
+        A = TemporalCOO.from_dense(dense, dtype=jnp.float32, pad_multiple=16)
+        M = make_m_matrix(T, 2)
+        X = rng.standard_normal((T, N, 2)).astype(np.float32)
+        edges = np.stack(
+            [np.sort(rng.integers(0, T, 40)), rng.integers(0, N, 40),
+             rng.integers(0, N, 40)]
+        )
+        splits = {
+            w: EdgeSplit(edges=edges, target=rng.integers(0, 2, 40),
+                         eval_mask=np.ones(40, bool))
+            for w in ("train", "val", "test")
+        }
+        model = TMGCN(n_slices=T, in_feat=2, hidden_feat=(4, 2))
+        adapter = make_sharded_edge_adapter(
+            model, {w: A for w in splits}, {w: X for w in splits},
+            {w: splits[w].edges for w in splits}, M, make_mesh(4, 2),
+        )
+        cw = np.array([0.9, 0.1])
+        key = jax.random.PRNGKey(11)
+
+        cfg8 = TrainConfig(n_epochs=8, eval_every=4, lr=1e-4)
+        full, _ = run_edge_classification(adapter, splits, cw, cfg8, key=key)
+
+        ck = RunCheckpointer(tmp_path / "sharded_resume")
+        cfg4 = TrainConfig(n_epochs=4, eval_every=4, lr=1e-4)
+        run_edge_classification(adapter, splits, cw, cfg4, key=key, checkpointer=ck)
+        resumed, _ = run_edge_classification(
+            adapter, splits, cw, cfg8, key=key, checkpointer=ck
+        )
+        ck.close()
+        np.testing.assert_allclose(resumed[4:, 3], full[4:, 3], rtol=1e-5)
+
     def test_regression_resumes_from_checkpoint(self, tmp_path):
         """run_regression continues from the latest checkpoint (the
         reference never persists model state — SURVEY.md §5; this is the
