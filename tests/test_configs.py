@@ -88,6 +88,18 @@ class TestRunExperimentSmoke:
         assert np.isfinite(res[:, 2]).all()
 
 
+class TestDtypes:
+    def test_bfloat16_training_mode(self):
+        """Production bf16 end-to-end: finite, decreasing losses."""
+        cfg = dataclasses.replace(
+            get_preset("sbm_tmgcn_lp"), sbm_n_nodes=50, sbm_n_slices=10,
+            beta1=2, beta2=2, dtype="bfloat16",
+        )
+        res = run_experiment(cfg, n_epochs=4, verbose=False)["results"][(0, 0.9)]
+        losses = np.asarray(res)[:, 2]
+        assert np.isfinite(losses).all()
+
+
 class TestDeterminism:
     def test_same_seed_identical_results(self):
         cfg = dataclasses.replace(
