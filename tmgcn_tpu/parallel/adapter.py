@@ -540,7 +540,7 @@ def _make_wdgcn_forward(mesh: Mesh, n_local_rows: int, model):
 
 
 def _make_evolvegcn_forward(mesh: Mesh, n_local_rows: int, model):
-    from tmgcn_tpu.models.evolvegcn import _evolve_step
+    from tmgcn_tpu.models.evolvegcn import batched_summaries, gru_cell
 
     n_layers = model.n_layers
 
@@ -548,36 +548,69 @@ def _make_evolvegcn_forward(mesh: Mesh, n_local_rows: int, model):
         rows, cols, vals = rows[:, 0], cols[:, 0], vals[:, 0]
         edges_b, mask = edges_b[0], mask[0]
 
+        # Layer-1 summaries come from the replicated X, so the weight
+        # trajectory evolves in a GRU-only scan with no collective and
+        # the propagation batches over all slices (models/evolvegcn.py).
+        S1 = batched_summaries(params["cell1"], X_full, W0s[0].shape[1])
+
+        def stepw1(W, s):
+            W = gru_cell(params["cell1"], s, W)
+            return W, W
+
+        W_fin, W1s = jax.lax.scan(stepw1, W0s[0], S1)
+
         if n_layers == 1:
-
-            def step(W, xs):
-                ax, x = xs
-                W = _evolve_step(params["cell1"], W, x)
-                h = jnp.matmul(ax, W)
-                return W, h.astype(model.store_dtype)
-
-            W_fin, Y = jax.lax.scan(step, W0s[0], (AX_loc, X_full))
+            Y = jnp.einsum("tnf,tfk->tnk", AX_loc, W1s).astype(model.store_dtype)
             finals = (W_fin,)
         else:
             n_real = X_full.shape[1]
-
-            def step2(carry, xs):
-                W, W2 = carry
-                r, c, v, ax, x = xs
-                W = _evolve_step(params["cell1"], W, x)
-                h_loc = jax.nn.relu(jnp.matmul(ax, W))  # (N_loc, F1)
-                # Layer-2 SpMM gathers full-graph rows; the GRU-2 summary
-                # reads the full hidden matrix — one all-gather per step.
-                h_full = jax.lax.all_gather(h_loc, GRAPH_AXIS, axis=0, tiled=True)
-                W2 = _evolve_step(params["cell2"], W2, h_full[:n_real])
-                h2 = jnp.matmul(
-                    _local_spmm(r, c, v, h_full, n_local_rows), W2
-                )
-                return (W, W2), h2.astype(model.store_dtype)
-
-            (W_fin, W2_fin), Y = jax.lax.scan(
-                step2, (W0s[0], W0s[1]), (rows, cols, vals, AX_loc, X_full)
+            n_graph = jax.lax.axis_size(GRAPH_AXIS)
+            H1_loc = jax.nn.relu(jnp.einsum("tnf,tfk->tnk", AX_loc, W1s))
+            k2 = W0s[1].shape[1]
+            # Distributed exact top-k for the layer-2 summaries: local
+            # top-k candidates (padding masked to -inf), all-gather the
+            # (G, k) candidate values/indices/rows — a few KB — then a
+            # global lexsort by (-value, index), which reproduces
+            # jax.lax.top_k's lowest-index tie-breaking because every
+            # global winner is in its own shard's candidate set.
+            p2 = params["cell2"]["p"]
+            y_loc = jnp.matmul(H1_loc, p2) / jnp.linalg.norm(p2)  # (T, N_loc)
+            shard = jax.lax.axis_index(GRAPH_AXIS)
+            gbase = shard * H1_loc.shape[1]
+            local_ids = gbase + jax.lax.broadcasted_iota(
+                jnp.int32, y_loc.shape, 1
             )
+            y_loc = jnp.where(local_ids < n_real, y_loc, -jnp.inf)
+            top_y, idx = jax.lax.top_k(y_loc, k2)  # (T, k2)
+            cand_rows = jnp.take_along_axis(H1_loc, idx[..., None], axis=1)
+            cand = (
+                jax.lax.all_gather(top_y, GRAPH_AXIS, axis=1),  # (T, G, k2)
+                jax.lax.all_gather(gbase + idx, GRAPH_AXIS, axis=1),
+                jax.lax.all_gather(cand_rows, GRAPH_AXIS, axis=1),
+            )
+            vals_c = cand[0].reshape(y_loc.shape[0], n_graph * k2)
+            ids_c = cand[1].reshape(y_loc.shape[0], n_graph * k2)
+            rows_c = cand[2].reshape(y_loc.shape[0], n_graph * k2, -1)
+
+            def pick(v, i, r):
+                order = jnp.lexsort((i, -v))[:k2]
+                return r[order] * v[order][:, None]
+
+            S2 = jax.vmap(pick)(vals_c, ids_c, rows_c)  # (T, k2, F1)
+            S2 = jnp.swapaxes(S2, 1, 2)  # (T, F1, k2)
+
+            def stepw2(W2, s):
+                W2 = gru_cell(params["cell2"], s, W2)
+                return W2, W2
+
+            W2_fin, W2s = jax.lax.scan(stepw2, W0s[1], S2)
+            # ONE all-gather of H1 for the batched layer-2 SpMM (the
+            # per-step variant gathered the same bytes T times).
+            H1_full = jax.lax.all_gather(H1_loc, GRAPH_AXIS, axis=1, tiled=True)
+            Z = jax.vmap(
+                lambda r, c, v, x: _local_spmm(r, c, v, x, n_local_rows)
+            )(rows, cols, vals, H1_full)
+            Y = jnp.einsum("tnf,tfk->tnk", Z, W2s).astype(model.store_dtype)
             finals = (W_fin, W2_fin)
 
         T_loc, N_loc, F = Y.shape
@@ -737,7 +770,7 @@ def make_sharded_regression_adapter(
     mesh: Mesh,
 ) -> ModelAdapter:
     """Sharded drop-in for tasks.adapters.make_regression_adapter."""
-    from tmgcn_tpu.models.evolvegcn import EvolveGCNReg, _evolve_step
+    from tmgcn_tpu.models.evolvegcn import EvolveGCNReg
     from tmgcn_tpu.models.tmgcn import TMGCNReg
     from tmgcn_tpu.models.wdgcn import WDGCNReg, lstm_scan
 
@@ -844,16 +877,20 @@ def make_sharded_regression_adapter(
         return ModelAdapter(init, apply, bundles, lambda variables: ())
 
     # EvolveGCNReg: the GRU input summarize(X_t) reads replicated X, so
-    # the evolved weights stay replicated without a collective; the
-    # per-step GCONV uses the shard's cached A@X rows.
-    def local(params, W0, AX_loc, X_full):
-        def step(W, xs):
-            ax, x = xs
-            W = _evolve_step(params["cell1"], W, x)
-            h = jnp.matmul(ax, W)
-            return W, h.astype(model.store_dtype)
+    # the evolved weights stay replicated without a collective — batched
+    # summaries feed a GRU-only scan and the propagation is one einsum
+    # over the shard's cached A@X rows (models/evolvegcn.py staging).
+    from tmgcn_tpu.models.evolvegcn import batched_summaries, gru_cell
 
-        _, Y = jax.lax.scan(step, W0, (AX_loc, X_full))
+    def local(params, W0, AX_loc, X_full):
+        S = batched_summaries(params["cell1"], X_full, W0.shape[1])
+
+        def stepw(W, s):
+            W = gru_cell(params["cell1"], s, W)
+            return W, W
+
+        _, Ws = jax.lax.scan(stepw, W0, S)
+        Y = jnp.einsum("tnf,tfk->tnk", AX_loc, Ws).astype(model.store_dtype)
         out = jnp.matmul(Y, params["lin_w"].astype(Y.dtype))
         return out[..., 0] + params["lin_b"].astype(Y.dtype)[0]
 
