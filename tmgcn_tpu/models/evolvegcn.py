@@ -78,6 +78,23 @@ def batched_summaries(cell: dict, X: jax.Array, k: int) -> jax.Array:
     return jnp.swapaxes(S, 1, 2)
 
 
+def evolve_weight_stack(
+    cell: dict, X: jax.Array, W0: jax.Array
+) -> tuple[jax.Array, jax.Array]:
+    """Batched-summaries + GRU-only scan: (final W, (T, *W.shape) stack).
+
+    The staging shared by every EvolveGCN fast path (single-device,
+    sharded, classification and regression).
+    """
+    S = batched_summaries(cell, X, W0.shape[1])
+
+    def step(W, s):
+        W = gru_cell(cell, s, W)
+        return W, W
+
+    return jax.lax.scan(step, W0, S)
+
+
 @dataclasses.dataclass(frozen=True)
 class EvolveGCN:
     """EvolveGCN-H with 1 or 2 layers and edge-readout head.
@@ -145,13 +162,7 @@ class EvolveGCN:
             raise ValueError("evolved_weights is the 1-layer trajectory")
         p, b = variables["params"], variables["buffers"]
         W0 = b["W_init1"] if W_init is None else W_init
-        S = batched_summaries(p["cell1"], X, W0.shape[1])
-
-        def stepw(W, s):
-            W = gru_cell(p["cell1"], s, W)
-            return W, W
-
-        return jax.lax.scan(stepw, W0, S)
+        return evolve_weight_stack(p["cell1"], X, W0)
 
     def embed_and_weights(
         self,
@@ -173,13 +184,7 @@ class EvolveGCN:
                 # Batched summaries + batched propagation: the scan body
                 # is ONLY the (F0, F1)-sized GRU; the (T, N, F) work runs
                 # as single large ops outside the sequential loop.
-                S = batched_summaries(p["cell1"], X, W0.shape[1])
-
-                def step_cached(W, s):
-                    W = gru_cell(p["cell1"], s, W)
-                    return W, W
-
-                W_fin, Ws = jax.lax.scan(step_cached, W0, S)
+                W_fin, Ws = evolve_weight_stack(p["cell1"], X, W0)
                 # einsum promotes like the per-step matmul did (AX f32 x
                 # W f64 -> f64 in the strict-parity configuration).
                 Y = jnp.einsum("tnf,tfk->tnk", AX, Ws)
@@ -203,21 +208,9 @@ class EvolveGCN:
             # makes the layer-2 summaries batchable too, and the layer-2
             # propagation runs as ONE batched SpMM instead of T
             # sequential per-slice ones.
-            S1 = batched_summaries(p["cell1"], X, W0.shape[1])
-
-            def stepw1(W, s):
-                W = gru_cell(p["cell1"], s, W)
-                return W, W
-
-            W_fin, W1s = jax.lax.scan(stepw1, W0, S1)
+            W_fin, W1s = evolve_weight_stack(p["cell1"], X, W0)
             H1 = jax.nn.relu(jnp.einsum("tnf,tfk->tnk", AX, W1s))
-            S2 = batched_summaries(p["cell2"], H1, W20.shape[1])
-
-            def stepw2(W2, s):
-                W2 = gru_cell(p["cell2"], s, W2)
-                return W2, W2
-
-            W2_fin, W2s = jax.lax.scan(stepw2, W20, S2)
+            W2_fin, W2s = evolve_weight_stack(p["cell2"], H1, W20)
             Y = jnp.einsum("tnf,tfk->tnk", spmm(A, H1), W2s)
             return Y.astype(self.store_dtype), (W_fin, W2_fin)
 
@@ -310,13 +303,7 @@ class EvolveGCNReg:
         if AX is not None:
             # Same hoist as the classifier: batched summaries feed a
             # GRU-only scan, then one batched propagation einsum.
-            S = batched_summaries(p["cell1"], X, W0.shape[1])
-
-            def step_cached(W, s):
-                W = gru_cell(p["cell1"], s, W)
-                return W, W
-
-            _, Ws = jax.lax.scan(step_cached, W0, S)
+            _, Ws = evolve_weight_stack(p["cell1"], X, W0)
             Y = jnp.einsum("tnf,tfk->tnk", AX, Ws).astype(self.store_dtype)
         else:
 

@@ -540,7 +540,7 @@ def _make_wdgcn_forward(mesh: Mesh, n_local_rows: int, model):
 
 
 def _make_evolvegcn_forward(mesh: Mesh, n_local_rows: int, model):
-    from tmgcn_tpu.models.evolvegcn import batched_summaries, gru_cell
+    from tmgcn_tpu.models.evolvegcn import evolve_weight_stack, gru_cell
 
     n_layers = model.n_layers
 
@@ -551,13 +551,7 @@ def _make_evolvegcn_forward(mesh: Mesh, n_local_rows: int, model):
         # Layer-1 summaries come from the replicated X, so the weight
         # trajectory evolves in a GRU-only scan with no collective and
         # the propagation batches over all slices (models/evolvegcn.py).
-        S1 = batched_summaries(params["cell1"], X_full, W0s[0].shape[1])
-
-        def stepw1(W, s):
-            W = gru_cell(params["cell1"], s, W)
-            return W, W
-
-        W_fin, W1s = jax.lax.scan(stepw1, W0s[0], S1)
+        W_fin, W1s = evolve_weight_stack(params["cell1"], X_full, W0s[0])
 
         if n_layers == 1:
             Y = jnp.einsum("tnf,tfk->tnk", AX_loc, W1s).astype(model.store_dtype)
@@ -583,14 +577,11 @@ def _make_evolvegcn_forward(mesh: Mesh, n_local_rows: int, model):
             y_loc = jnp.where(local_ids < n_real, y_loc, -jnp.inf)
             top_y, idx = jax.lax.top_k(y_loc, k2)  # (T, k2)
             cand_rows = jnp.take_along_axis(H1_loc, idx[..., None], axis=1)
-            cand = (
-                jax.lax.all_gather(top_y, GRAPH_AXIS, axis=1),  # (T, G, k2)
-                jax.lax.all_gather(gbase + idx, GRAPH_AXIS, axis=1),
-                jax.lax.all_gather(cand_rows, GRAPH_AXIS, axis=1),
-            )
-            vals_c = cand[0].reshape(y_loc.shape[0], n_graph * k2)
-            ids_c = cand[1].reshape(y_loc.shape[0], n_graph * k2)
-            rows_c = cand[2].reshape(y_loc.shape[0], n_graph * k2, -1)
+            T_ = y_loc.shape[0]
+            gather = lambda x: jax.lax.all_gather(x, GRAPH_AXIS, axis=1)
+            vals_c = gather(top_y).reshape(T_, n_graph * k2)
+            ids_c = gather(gbase + idx).reshape(T_, n_graph * k2)
+            rows_c = gather(cand_rows).reshape(T_, n_graph * k2, -1)
 
             def pick(v, i, r):
                 order = jnp.lexsort((i, -v))[:k2]
@@ -877,19 +868,13 @@ def make_sharded_regression_adapter(
         return ModelAdapter(init, apply, bundles, lambda variables: ())
 
     # EvolveGCNReg: the GRU input summarize(X_t) reads replicated X, so
-    # the evolved weights stay replicated without a collective — batched
-    # summaries feed a GRU-only scan and the propagation is one einsum
-    # over the shard's cached A@X rows (models/evolvegcn.py staging).
-    from tmgcn_tpu.models.evolvegcn import batched_summaries, gru_cell
+    # the evolved weights stay replicated without a collective — the
+    # staged GRU-only evolution plus one propagation einsum over the
+    # shard's cached A@X rows (models/evolvegcn.py).
+    from tmgcn_tpu.models.evolvegcn import evolve_weight_stack
 
     def local(params, W0, AX_loc, X_full):
-        S = batched_summaries(params["cell1"], X_full, W0.shape[1])
-
-        def stepw(W, s):
-            W = gru_cell(params["cell1"], s, W)
-            return W, W
-
-        _, Ws = jax.lax.scan(stepw, W0, S)
+        _, Ws = evolve_weight_stack(params["cell1"], X_full, W0)
         Y = jnp.einsum("tnf,tfk->tnk", AX_loc, Ws).astype(model.store_dtype)
         out = jnp.matmul(Y, params["lin_w"].astype(Y.dtype))
         return out[..., 0] + params["lin_b"].astype(Y.dtype)[0]
