@@ -52,6 +52,24 @@ class TestMRR:
         probs2 = np.array([0.9, 0.7, 0.5])
         assert M.row_mrr(probs2, np.array([0, 1, 0])) == pytest.approx((1 + 1 / 3) / 2)
 
+    def test_sparse_mrr_matches_dense_oracle(self):
+        """mrr_from_edges == the reference-literal dense construction,
+        including ties, duplicate (i, j) pairs, exact zeros, and
+        negative raw-logit scores."""
+        rng = np.random.default_rng(5)
+        for _ in range(25):
+            R, C = rng.integers(3, 30), rng.integers(3, 40)
+            E = rng.integers(5, 200)
+            adj = np.stack([rng.integers(0, R, E), rng.integers(0, C, E)])
+            probs = rng.choice([-1.5, -0.25, 0.0, 0.0, 0.3, 0.3, 1.2], E)
+            trues = rng.choice([0.0, 1.0], E, p=[0.7, 0.3])
+            a = M._mrr_from_edges_dense(probs, trues, adj)
+            b = M.mrr_from_edges(probs, trues, adj)
+            if np.isnan(a):
+                assert np.isnan(b)
+            else:
+                assert b == pytest.approx(a, abs=1e-12)
+
     def test_map_mrr_bounds(self):
         rng = np.random.default_rng(1)
         E = 200
