@@ -71,6 +71,35 @@ class TestCheckpoint:
         ckpt.close()
 
 
+class TestPredictCLI:
+    def test_train_then_predict(self, tmp_path, monkeypatch):
+        """cli predict restores a run's checkpoint and scores a window."""
+        import dataclasses
+
+        from tmgcn_tpu.cli import main as cli_main
+        from tmgcn_tpu.configs import presets
+        from tmgcn_tpu.configs.presets import PRESETS, get_preset
+
+        tiny = dataclasses.replace(
+            get_preset("sbm_tmgcn_lp"), name="sbm_tiny_lp",
+            sbm_n_nodes=60, sbm_n_slices=10, beta1=2, beta2=2, eval_every=2,
+        )
+        monkeypatch.setitem(PRESETS, "sbm_tiny_lp", tiny)
+        ck = str(tmp_path / "ck")
+        assert cli_main([
+            "run", "sbm_tiny_lp", "--epochs", "4",
+            "--checkpoint-dir", ck, "--quiet",
+        ]) == 0
+        out = tmp_path / "scores.npz"
+        assert cli_main([
+            "predict", "sbm_tiny_lp", "--checkpoint-dir", ck,
+            "--window", "val", "--out", str(out),
+        ]) == 0
+        z = np.load(out)
+        assert z["scores"].ndim == 2 and np.isfinite(z["scores"]).all()
+        assert z["edges"].shape[0] == 3
+
+
 class TestLogging:
     def test_jsonl_and_summary(self, tmp_path):
         rng = np.random.default_rng(1)

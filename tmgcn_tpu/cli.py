@@ -57,6 +57,126 @@ def _cmd_synth(args) -> int:
     return 0
 
 
+def _cmd_predict(args) -> int:
+    """Inference: restore a trained checkpoint and score a window's edges.
+
+    Rebuilds the adapter for the preset, restores the latest Orbax
+    checkpoint saved by ``run --checkpoint-dir`` (params; frozen buffers
+    are re-derived from the same per-trial seed, matching resume
+    semantics), threads the evolved-weight carry train -> val -> test as
+    the training loops do, and writes the requested window's per-edge
+    scores plus the protocol metrics.
+    """
+    import dataclasses
+
+    import jax
+
+    from tmgcn_tpu.configs.build import _make_adapter, build_data, build_model
+    from tmgcn_tpu.configs.presets import get_preset
+    from tmgcn_tpu.tasks import metrics as M
+    from tmgcn_tpu.tasks.windows import (
+        split_data_link_prediction,
+        split_edges_classification,
+    )
+    from tmgcn_tpu.train.checkpoint import RunCheckpointer
+
+    cfg = get_preset(args.preset)
+    if args.seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.seed)
+    data = build_data(cfg, data_dir=args.data_dir, artifact=args.artifact)
+    in_feat = data.feats["train"].shape[-1]
+    windows = ("train", "val", "test")
+
+    if cfg.task == "edge_cls":
+        splits = split_edges_classification(
+            data.edge_index, data.edge_values, data.spec, n_classes=cfg.n_classes
+        )
+        model = build_model(cfg, data.spec.s_train, in_feat)
+        adapter = _make_adapter(
+            cfg, model, data, {w: splits[w].edges for w in windows}, None
+        )
+    elif cfg.task == "link_pred":
+        splits = split_data_link_prediction(data.lp_edges, data.lp_labels, data.spec)
+        model = build_model(cfg, data.spec.s_train - 1, in_feat)
+        adapter = _make_adapter(
+            cfg, model, data, {w: splits[w].model_edges for w in windows}, None,
+            drop_last_slice=True,
+        )
+    else:
+        raise SystemExit(f"predict supports edge_cls/link_pred, not {cfg.task!r}")
+
+    # Reproduce the training loop's per-(trial, alpha) subkey so frozen
+    # buffers (e.g. WD-GCN's U) match the checkpointed run.
+    alphas = cfg.alpha_vec or (None,)
+    alpha = args.alpha if args.alpha is not None else alphas[0]
+    key = jax.random.PRNGKey(cfg.seed)
+    sub = None
+    for tr in range(cfg.n_trials):
+        for a in alphas:
+            key, s_ = jax.random.split(key)
+            if tr == args.trial and (a is None or a == alpha):
+                sub = s_
+                break
+        if sub is not None:
+            break
+    if sub is None:
+        raise SystemExit(f"trial {args.trial} / alpha {alpha} not in the preset sweep")
+
+    variables = adapter.init(sub)
+    tag = f"tr{args.trial}" + (f"_w{round((alpha or 0) * 100)}" if alpha else "")
+    ck = RunCheckpointer(Path(args.checkpoint_dir) / cfg.name / tag)
+    restored = ck.restore_params(variables["params"])
+    if restored is None:
+        raise SystemExit(f"no checkpoint under {args.checkpoint_dir}/{cfg.name}/{tag}")
+    step, params = restored
+    ck.close()
+    variables = {"params": params, "buffers": variables["buffers"]}
+
+    carry = adapter.initial_carry(variables)
+    outs = {}
+    for w in windows:
+        out, carry = adapter.apply(variables, adapter.bundles[w], carry)
+        outs[w] = np.asarray(out)
+    out = outs[args.window]
+    s = splits[args.window]
+
+    if cfg.task == "link_pred" and cfg.loss_type == "sigmoid":
+        p = 1.0 / (1.0 + np.exp(-out.astype(np.float64)))
+        out = np.concatenate([p, 1.0 - p], axis=1)
+
+    if cfg.task == "edge_cls":
+        mask = s.eval_mask
+        prec, rec, f1 = M.precision_recall_f1(
+            np.argmax(out[mask], 1), s.target[mask]
+        )
+        print(
+            f"{cfg.name} [{args.window}] epoch {step}: "
+            f"precision {prec:.4f} recall {rec:.4f} f1 {f1:.4f} "
+            f"({int(mask.sum())} eval edges)"
+        )
+        edges_out = s.edges
+    else:
+        if s.n_eval_tail is not None:
+            K = s.n_eval_tail
+            out_np, tgt_np, metric_edges = out[-K:], s.target[-K:], s.edges[:, -K:]
+        else:
+            keep = s.edges[0] != 0
+            out_np, tgt_np, metric_edges = out, s.target[keep], s.edges[:, keep]
+        mp, mr = M.map_mrr(out_np, tgt_np, metric_edges)
+        print(
+            f"{cfg.name} [{args.window}] epoch {step}: "
+            f"MAP {mp:.4f} MRR {mr:.4f} ({out_np.shape[0]} eval edges)"
+        )
+        edges_out = s.model_edges
+
+    if args.out:
+        path = Path(args.out)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        np.savez_compressed(path, scores=out, edges=edges_out, epoch=step)
+        print(f"wrote {path}")
+    return 0
+
+
 def _parse_mesh(spec: str) -> tuple[int, int]:
     """Parse 'graph=G,time=T' (either key optional, any order)."""
     parts = dict(
@@ -178,6 +298,19 @@ def main(argv=None) -> int:
                     help="raise on the first NaN produced on device")
     rp.add_argument("--quiet", action="store_true")
 
+    pp2 = sub.add_parser(
+        "predict", help="restore a checkpoint and score a window's edges"
+    )
+    pp2.add_argument("preset")
+    pp2.add_argument("--data-dir")
+    pp2.add_argument("--artifact")
+    pp2.add_argument("--checkpoint-dir", required=True)
+    pp2.add_argument("--window", choices=["train", "val", "test"], default="test")
+    pp2.add_argument("--trial", type=int, default=0)
+    pp2.add_argument("--alpha", type=float)
+    pp2.add_argument("--seed", type=int)
+    pp2.add_argument("--out", help="write scores/edges to this .npz")
+
     args = ap.parse_args(argv)
     if args.cmd == "list":
         return _cmd_list(args)
@@ -187,6 +320,8 @@ def main(argv=None) -> int:
         return _cmd_preprocess(args)
     if args.cmd == "run":
         return _cmd_run(args)
+    if args.cmd == "predict":
+        return _cmd_predict(args)
     return 1
 
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pathlib import Path
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import orbax.checkpoint as ocp
 
@@ -48,6 +49,25 @@ class RunCheckpointer:
             return None
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return step, restored
+
+    def restore_params(self, params_template) -> tuple[int, dict] | None:
+        """Restore only the model parameters (inference: no opt state,
+        and the saved results array's shape is unknown to the caller).
+
+        Template-free restore (the manager reproduces the saved
+        structure), then the params subtree is cast onto the template's
+        dtypes/structure.
+        """
+        step = self._mgr.latest_step()
+        if step is None:
+            return None
+        restored = self._mgr.restore(step)
+        params = jax.tree.map(
+            lambda t, r: jnp.asarray(r, dtype=t.dtype),
+            params_template,
+            restored["params"],
+        )
+        return step, params
 
     def close(self) -> None:
         self._mgr.close()
