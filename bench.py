@@ -515,7 +515,41 @@ def bench_spmm_isolated(data, impl: str) -> dict:
     }
 
 
+def _device_alive(timeout_s: float = 180.0) -> bool:
+    """Probe the accelerator with a watchdog: through the axon tunnel a
+    wedged backend HANGS every device op (it does not error), which
+    would stall the driver's whole measurement run."""
+    import threading
+
+    ok = []
+
+    def probe():
+        import jax
+        import jax.numpy as jnp
+
+        ok.append(float(jnp.ones(2).sum()) == 2.0)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    return bool(ok and ok[0])
+
+
 def main() -> int:
+    if not _device_alive():
+        print(
+            json.dumps(
+                {
+                    "metric": "chess_tmgcn_train_edges_per_s",
+                    "value": 0,
+                    "unit": "edges/s",
+                    "vs_baseline": 0,
+                    "error": "accelerator unreachable (device probe timed out)",
+                }
+            )
+        )
+        return 1
+
     from tmgcn_tpu.configs.presets import get_preset
 
     t_start = time.perf_counter()
