@@ -204,6 +204,20 @@ class TestRecurrentForwardParity:
             np.asarray(fin_sh[1]), np.asarray(fin_ref[1]), atol=2e-5
         )
 
+    def test_evolvegcn2_summary_wider_than_shard(self, problem, mesh_shape):
+        """k2 > N_loc: the local top-k caps at the shard's row count."""
+        from tmgcn_tpu.models.evolvegcn import EvolveGCN
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = EvolveGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(4, 8, 2))
+        ref = make_edge_adapter(model, adj, feats, edict)
+        mesh = _graph_mesh(mesh_shape[0])
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, None, mesh)
+        variables = ref.init(jax.random.PRNGKey(3))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(variables, sh.bundles["train"], ())
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+
     def test_time_sharding_rejected(self, problem, mesh_shape):
         from tmgcn_tpu.models.wdgcn import WDGCN
 

@@ -21,10 +21,12 @@ class TestCheckpoint:
         results = np.arange(24, dtype=np.float64).reshape(2, 12)
 
         ckpt = RunCheckpointer(tmp_path / "run0")
-        ckpt.save(100, params, opt_state, results)
+        buffers = {"U": jnp.ones((2, 2))}
+        ckpt.save(100, params, opt_state, results, buffers=buffers)
         assert ckpt.latest_epoch() == 100
 
-        template = {"params": params, "opt_state": opt_state, "results": results}
+        template = {"params": params, "opt_state": opt_state,
+                    "results": results, "buffers": buffers}
         step, restored = ckpt.restore(jax.tree.map(np.zeros_like, template))
         assert step == 100
         np.testing.assert_allclose(np.asarray(restored["params"]["W"]), 1.0)

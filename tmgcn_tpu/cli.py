@@ -61,9 +61,8 @@ def _cmd_predict(args) -> int:
     """Inference: restore a trained checkpoint and score a window's edges.
 
     Rebuilds the adapter for the preset, restores the latest Orbax
-    checkpoint saved by ``run --checkpoint-dir`` (params; frozen buffers
-    are re-derived from the same per-trial seed, matching resume
-    semantics), threads the evolved-weight carry train -> val -> test as
+    checkpoint saved by ``run --checkpoint-dir`` (params and frozen
+    buffers), threads the evolved-weight carry train -> val -> test as
     the training loops do, and writes the requested window's per-edge
     scores plus the protocol metrics.
     """
@@ -105,32 +104,21 @@ def _cmd_predict(args) -> int:
     else:
         raise SystemExit(f"predict supports edge_cls/link_pred, not {cfg.task!r}")
 
-    # Reproduce the training loop's per-(trial, alpha) subkey so frozen
-    # buffers (e.g. WD-GCN's U) match the checkpointed run.
+    from tmgcn_tpu.configs.build import run_tag
+
     alphas = cfg.alpha_vec or (None,)
     alpha = args.alpha if args.alpha is not None else alphas[0]
-    key = jax.random.PRNGKey(cfg.seed)
-    sub = None
-    for tr in range(cfg.n_trials):
-        for a in alphas:
-            key, s_ = jax.random.split(key)
-            if tr == args.trial and (a is None or a == alpha):
-                sub = s_
-                break
-        if sub is not None:
-            break
-    if sub is None:
-        raise SystemExit(f"trial {args.trial} / alpha {alpha} not in the preset sweep")
-
-    variables = adapter.init(sub)
-    tag = f"tr{args.trial}" + (f"_w{round((alpha or 0) * 100)}" if alpha else "")
+    # The checkpoint carries params AND frozen buffers; the init here
+    # only provides shape/dtype templates.
+    variables = adapter.init(jax.random.PRNGKey(cfg.seed))
+    tag = run_tag(args.trial, alpha)
     ck = RunCheckpointer(Path(args.checkpoint_dir) / cfg.name / tag)
-    restored = ck.restore_params(variables["params"])
+    restored = ck.restore_inference(variables["params"], variables["buffers"])
     if restored is None:
         raise SystemExit(f"no checkpoint under {args.checkpoint_dir}/{cfg.name}/{tag}")
-    step, params = restored
+    step, params, buffers = restored
     ck.close()
-    variables = {"params": params, "buffers": variables["buffers"]}
+    variables = {"params": params, "buffers": buffers}
 
     carry = adapter.initial_carry(variables)
     outs = {}

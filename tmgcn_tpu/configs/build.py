@@ -336,6 +336,11 @@ def build_model(cfg: ExperimentConfig, n_slices: int, in_feat: int):
     raise ValueError(f"unknown method {cfg.method!r}")
 
 
+def run_tag(trial: int, alpha: float | None) -> str:
+    """Checkpoint/results tag for one (trial, alpha) run."""
+    return f"tr{trial}" + (f"_w{round((alpha or 0) * 100)}" if alpha else "")
+
+
 def _make_adapter(cfg, model, data, splits_edges, mesh_shape, drop_last_slice=False):
     """Single-device or sharded adapter, depending on mesh_shape."""
     M = data.M if cfg.method == "tmgcn" else None
@@ -399,8 +404,7 @@ def run_experiment(
             return None
         from tmgcn_tpu.train.checkpoint import RunCheckpointer
 
-        tag = f"tr{tr}" + (f"_w{round((alpha or 0) * 100)}" if alpha else "")
-        return RunCheckpointer(Path(checkpoint_dir) / cfg.name / tag)
+        return RunCheckpointer(Path(checkpoint_dir) / cfg.name / run_tag(tr, alpha))
 
     if cfg.task == "regression":
         model = build_model(cfg, data.spec.s_train, in_feat)

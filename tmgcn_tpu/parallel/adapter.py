@@ -575,13 +575,18 @@ def _make_evolvegcn_forward(mesh: Mesh, n_local_rows: int, model):
                 jnp.int32, y_loc.shape, 1
             )
             y_loc = jnp.where(local_ids < n_real, y_loc, -jnp.inf)
-            top_y, idx = jax.lax.top_k(y_loc, k2)  # (T, k2)
+            # k candidates per shard, capped by the shard's row count
+            # (small graphs on wide meshes: the global pool G*k_loc
+            # still covers every global winner as long as k2 <= n_real,
+            # the same bound the single-device top_k needs).
+            k_loc = min(k2, H1_loc.shape[1])
+            top_y, idx = jax.lax.top_k(y_loc, k_loc)  # (T, k_loc)
             cand_rows = jnp.take_along_axis(H1_loc, idx[..., None], axis=1)
             T_ = y_loc.shape[0]
             gather = lambda x: jax.lax.all_gather(x, GRAPH_AXIS, axis=1)
-            vals_c = gather(top_y).reshape(T_, n_graph * k2)
-            ids_c = gather(gbase + idx).reshape(T_, n_graph * k2)
-            rows_c = gather(cand_rows).reshape(T_, n_graph * k2, -1)
+            vals_c = gather(top_y).reshape(T_, n_graph * k_loc)
+            ids_c = gather(gbase + idx).reshape(T_, n_graph * k_loc)
+            rows_c = gather(cand_rows).reshape(T_, n_graph * k_loc, -1)
 
             def pick(v, i, r):
                 order = jnp.lexsort((i, -v))[:k2]

@@ -142,7 +142,9 @@ def _build_restricted_layer2(
                 mode="bf16" if operator.endswith("bf16") else "exact",
             )
         except ValueError:
-            operator = "pallas"  # over the block-tensor byte budget
+            # Over the block-tensor byte budget; keep the requested
+            # precision class in the fallback.
+            operator = "pallas_bf16" if operator.endswith("bf16") else "pallas"
     if op is None and operator in ("pallas", "pallas_bf16"):
         from tmgcn_tpu.kernels.spmm_pallas import make_flat_operator as mk_pallas
 

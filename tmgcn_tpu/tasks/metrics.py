@@ -187,7 +187,11 @@ def mrr_from_edges(probs: np.ndarray, true_classes: np.ndarray, adj: np.ndarray)
     sum_zero_exp = np.bincount(rs[zero_mask], weights=inv_rank[zero_mask], minlength=R)
     inv_sum = sum_t0 + block - sum_zero_exp
     counts = Zimp + np.bincount(rs[ts == 0.0], minlength=R)
-    return float(np.mean(inv_sum / counts))
+    # A kept row with NO label-0 position is 0/0 = nan in the dense
+    # construction; force it (fp residue in inv_sum would give +/-inf).
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ratio = np.where(counts > 0, inv_sum / np.maximum(counts, 1), np.nan)
+    return float(np.mean(ratio))
 
 
 def softmax_pos0(logits: np.ndarray) -> np.ndarray:

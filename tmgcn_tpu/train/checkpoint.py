@@ -30,11 +30,17 @@ class RunCheckpointer:
             ),
         )
 
-    def save(self, epoch: int, params, opt_state, results: np.ndarray) -> None:
+    def save(
+        self, epoch: int, params, opt_state, results: np.ndarray, buffers=None
+    ) -> None:
         state = {
             "params": params,
             "opt_state": opt_state,
             "results": results,
+            # Frozen model buffers (e.g. WD-GCN's untrained U) so
+            # inference can restore a complete model without replaying
+            # the training run's RNG schedule.
+            "buffers": buffers if buffers is not None else {},
         }
         self._mgr.save(epoch, args=ocp.args.StandardSave(state))
         self._mgr.wait_until_finished()
@@ -50,24 +56,36 @@ class RunCheckpointer:
         restored = self._mgr.restore(step, args=ocp.args.StandardRestore(template))
         return step, restored
 
-    def restore_params(self, params_template) -> tuple[int, dict] | None:
-        """Restore only the model parameters (inference: no opt state,
-        and the saved results array's shape is unknown to the caller).
+    def restore_inference(
+        self, params_template, buffers_template
+    ) -> tuple[int, dict, dict] | None:
+        """Restore (params, buffers) for inference — no opt state, and
+        the saved results array's shape is unknown to the caller.
 
         Template-free restore (the manager reproduces the saved
-        structure), then the params subtree is cast onto the template's
-        dtypes/structure.
+        structure), then subtrees are cast onto the templates'
+        dtypes/structures. Checkpoints written before buffers were
+        saved fall back to the caller's (re-derived) buffers_template.
         """
         step = self._mgr.latest_step()
         if step is None:
             return None
         restored = self._mgr.restore(step)
-        params = jax.tree.map(
-            lambda t, r: jnp.asarray(r, dtype=t.dtype),
-            params_template,
-            restored["params"],
+
+        def cast(template, tree):
+            return jax.tree.map(
+                lambda t, r: jnp.asarray(r, dtype=t.dtype), template, tree
+            )
+
+        params = cast(params_template, restored["params"])
+        saved_buffers = restored.get("buffers") or {}
+        buffers = (
+            cast(buffers_template, saved_buffers)
+            if jax.tree.structure(saved_buffers)
+            == jax.tree.structure(buffers_template)
+            else buffers_template
         )
-        return step, params
+        return step, params, buffers
 
     def close(self) -> None:
         self._mgr.close()

@@ -149,7 +149,8 @@ def run_edge_classification(
     ep = 0
     if checkpointer is not None and checkpointer.latest_epoch() is not None:
         step, restored = checkpointer.restore(
-            {"params": params, "opt_state": opt_state, "results": results}
+            {"params": params, "opt_state": opt_state, "results": results,
+             "buffers": buffers}
         )
         params, opt_state = restored["params"], restored["opt_state"]
         results[: step + 1] = restored["results"][: step + 1]
@@ -179,7 +180,7 @@ def run_edge_classification(
                 f"val f1 {val_stats[2]:.4f} | test f1 {test_stats[2]:.4f}"
             )
         if checkpointer is not None:
-            checkpointer.save(ep, params, opt_state, results)
+            checkpointer.save(ep, params, opt_state, results, buffers=buffers)
         ep += 1
 
         # Non-evaluation epochs: one fused device call.
@@ -259,7 +260,8 @@ def run_link_prediction(
     ep = 0
     if checkpointer is not None and checkpointer.latest_epoch() is not None:
         step, restored = checkpointer.restore(
-            {"params": params, "opt_state": opt_state, "results": results}
+            {"params": params, "opt_state": opt_state, "results": results,
+             "buffers": buffers}
         )
         params, opt_state = restored["params"], restored["opt_state"]
         results[: step + 1] = restored["results"][: step + 1]
@@ -306,7 +308,7 @@ def run_link_prediction(
                 f"val {val_stats[0]:.4f} | test {test_stats[0]:.4f}"
             )
         if checkpointer is not None:
-            checkpointer.save(ep, params, opt_state, results)
+            checkpointer.save(ep, params, opt_state, results, buffers=buffers)
         ep += 1
 
         k = min(cfg.eval_every - 1, cfg.n_epochs - ep)
@@ -373,7 +375,8 @@ def run_regression(
     ep = 0
     if checkpointer is not None and checkpointer.latest_epoch() is not None:
         step, restored = checkpointer.restore(
-            {"params": params, "opt_state": opt_state, "results": losses}
+            {"params": params, "opt_state": opt_state, "results": losses,
+             "buffers": buffers}
         )
         params, opt_state = restored["params"], restored["opt_state"]
         losses[: step + 1] = restored["results"][: step + 1]
@@ -388,7 +391,7 @@ def run_regression(
             print(f"ep {ep + k - 1}: train mse {losses[ep + k - 1]:.5f}")
         ep += k
         if checkpointer is not None:
-            checkpointer.save(ep - 1, params, opt_state, losses)
+            checkpointer.save(ep - 1, params, opt_state, losses, buffers=buffers)
 
     result = {"train_loss": losses}
     for wname in ("val", "test"):

@@ -171,8 +171,14 @@ def main() -> int:
         np.take_along_axis(centers, pick, 1) + rng.integers(-40, 40, (T, nnz_slice)),
         0, N - 1,
     )
+    # Row-sort WITH the matching column permutation — sorting rows alone
+    # would decorrelate the (row, col) pairs and destroy the very
+    # block-locality this section demonstrates.
+    o = np.argsort(rc, axis=1)
+    rc = np.take_along_axis(rc, o, 1)
+    cc2 = np.take_along_axis(cc2, o, 1)
     A2 = TemporalCOO.from_global_coo(
-        t_idx, np.sort(rc, axis=1).ravel(), cc2.ravel(), v, T, N, pad_multiple=128
+        t_idx, rc.ravel(), cc2.ravel(), v, T, N, pad_multiple=128
     )
     g_r2, g_c2, _ = flatten_stream(A2)
     out["clustered_nnz"] = int(np.asarray(A2.nnz).sum())  # Mnnz/s rows use `nnz`
