@@ -70,6 +70,17 @@ class TestMRR:
             else:
                 assert b == pytest.approx(a, abs=1e-12)
 
+    def test_sparse_mrr_degenerate_row_is_nan(self):
+        """A kept row whose every column is explicit with no label-0
+        position: 0/0 -> nan, matching the dense construction."""
+        # 2 columns total; row 0 fully explicit, both label-1.
+        adj = np.stack([[0, 0, 1, 1], [0, 1, 0, 1]])
+        probs = np.array([0.5, -0.5, 0.1, 0.2])
+        trues = np.array([1.0, 1.0, 0.0, 1.0])
+        a = M._mrr_from_edges_dense(probs, trues, adj)
+        b = M.mrr_from_edges(probs, trues, adj)
+        assert np.isnan(a) and np.isnan(b)
+
     def test_map_mrr_bounds(self):
         rng = np.random.default_rng(1)
         E = 200
