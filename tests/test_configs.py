@@ -14,8 +14,9 @@ class TestPresets:
     def test_registry_covers_reference_matrix(self):
         # 5 cls datasets x 4 methods + 5 lp datasets x 4 methods
         # + 2 sbm lp (+2 tuned, +1 spectral) + 3 seir reg (+3 tuned)
-        # + the chess 2-layer bench config (chess_tmgcn2_cls).
-        assert len(PRESETS) == 20 + 20 + 5 + 6 + 1
+        # + the chess 2-layer bench configs (chess_tmgcn2_cls,
+        #   chess_evolvegcn2_cls).
+        assert len(PRESETS) == 20 + 20 + 5 + 6 + 2
         for name, cfg in PRESETS.items():
             assert cfg.name == name
 

@@ -60,6 +60,24 @@ def _build_registry() -> dict[str, ExperimentConfig]:
         same_block_size=True,
     )
 
+    # 2-layer chess EvolveGCN (framework extra): benchmarks the staged
+    # 2-layer evolution (two GRU-only scans + one batched layer-2 SpMM)
+    # on the in-repo dataset; the reference's 2-layer EvolveGCN configs
+    # target the external bitcoin datasets.
+    registry["chess_evolvegcn2_cls"] = ExperimentConfig(
+        name="chess_evolvegcn2_cls",
+        dataset="chess",
+        method="evolvegcn",
+        task="edge_cls",
+        n_layers=2,
+        hidden_feat=(6, 6, 3),
+        n_classes=3,
+        alpha_vec=(0.33,),
+        n_epochs=10_000,
+        cutoff=95,
+        same_block_size=False,  # baselines use disjoint windows
+    )
+
     for ds in LP_DATASETS:
         for method in METHODS:
             name = f"{ds}_{method}_lp"

@@ -27,6 +27,7 @@ PRESETS = (
     "chess_tmgcn2_cls",     # restricted layer-2 (per-epoch SpMM)
     "chess_gcn_cls",        # KW-GCN baseline (1-layer fast path, no M)
     "chess_evolvegcn_cls",  # sequential GRU weight evolution (lax.scan)
+    "chess_evolvegcn2_cls", # staged 2-layer: GRU-only scans + batched SpMM
     "chess_wdgcn_cls",      # per-node LSTM over time (lax.scan)
     "seir_tmgcn_reg",       # (T, N) regression, cached propagation
     "seir_evolvegcn_reg",   # GRU-only scan + batched propagation
