@@ -20,6 +20,11 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# jax_platforms (not just platform_name) so the axon plugin is never
+# initialized: with only a platform *preference*, backend discovery
+# still dials the TPU tunnel, and a wedged tunnel hangs every device op
+# — the suite must run CPU-only regardless of tunnel health.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_platform_name", "cpu")
 jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
