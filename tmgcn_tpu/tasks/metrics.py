@@ -90,7 +90,8 @@ def _mrr_from_edges_dense(
     ranks = np.arange(1, shape[1] + 1, dtype=np.float64)[None, :]
     inv_sum = np.where(existing_sorted, 1.0 / ranks, 0.0).sum(axis=1)
     counts = existing_sorted.sum(axis=1)
-    return float(np.mean(inv_sum / counts))
+    with np.errstate(invalid="ignore", divide="ignore"):
+        return float(np.mean(inv_sum / counts))
 
 
 def mrr_from_edges(probs: np.ndarray, true_classes: np.ndarray, adj: np.ndarray) -> float:
