@@ -43,6 +43,33 @@ def test_preprocess_end_to_end(tmp_path):
     assert np.isfinite(np.asarray(pre.Ct_windows["train"].vals)).all()
 
 
+@pytest.mark.parametrize("name", ["hep_th", "wikiconflict", "eu_core"])
+def test_preprocess_only_datasets(tmp_path, name):
+    """The reference preprocesses hep-th/wikiconflict/eu-core without ever
+    training on them (read_data.m:50-60,93-95 — no experiment scripts);
+    parity requires OUR pipeline to run them end-to-end too, including
+    the wikiconflict column-sum >= 100 node filter (read_data.m:154-170).
+    """
+    from tmgcn_tpu.preprocess.pipeline import preprocess
+
+    spec = REGISTRY[name]
+    generate(name, tmp_path, seed=0)
+    raw = load_raw(spec, tmp_path)
+    pre = preprocess(raw, spec.preprocess)
+    p = spec.preprocess
+    assert pre.M.shape == (p.s_train, p.s_train)
+    for w in ("train", "val", "test"):
+        assert pre.Ct_windows[w].n_slices == p.s_train
+        assert np.isfinite(np.asarray(pre.Ct_windows[w].vals)).all()
+    if name == "wikiconflict":
+        # The filter must actually bite: synthetic wikiconflict has many
+        # low-degree nodes below the 100 column-sum threshold.
+        from tmgcn_tpu.preprocess.pipeline import filter_nodes_by_column_sum
+
+        kept = filter_nodes_by_column_sum(raw, p.min_column_sum)
+        assert kept.n_nodes < raw.n_nodes
+
+
 def test_signed_signal(tmp_path):
     """Bitcoin-like weights carry community-correlated sign (learnable)."""
     spec = REGISTRY["bitcoin_alpha"]
