@@ -158,3 +158,94 @@ def test_evolvegcn_readout_op_matches_direct():
     np.testing.assert_allclose(
         np.asarray(out_plan), np.asarray(out_direct), rtol=1e-5, atol=1e-5
     )
+
+
+def test_evolvegcn2_adapter_restricted_matches_model():
+    """The readout-restricted 2-layer adapter == generic staged model.
+
+    The restricted path replaces the full-row per-epoch layer-2 SpMM
+    (A ⊛ H1) with a rectangular endpoint-rows operator and applies the
+    per-slice evolved weights through one-hot matmuls; identical math to
+    the staged model.apply (which itself matches the reference scan,
+    evolvegcn_functions.py:104-213).
+    """
+    from tmgcn_tpu.core.sparse import TemporalCOO
+    from tmgcn_tpu.models.evolvegcn import EvolveGCN
+    from tmgcn_tpu.tasks.adapters import make_edge_adapter
+
+    rng = np.random.default_rng(11)
+    T, N, per, E, F0 = 5, 80, 150, 60, 3
+    A = TemporalCOO(
+        rows=np.sort(rng.integers(0, N, (T, per)), axis=1).astype(np.int32),
+        cols=rng.integers(0, N, (T, per)).astype(np.int32),
+        vals=rng.standard_normal((T, per)).astype(np.float32),
+        nnz=np.full(T, per, np.int32),
+        n_nodes=N,
+    )
+    X = rng.standard_normal((T, N, F0)).astype(np.float32)
+    edges = {
+        w: np.stack([
+            np.sort(rng.integers(0, T, E)),
+            rng.integers(0, N, E),
+            rng.integers(0, N, E),
+        ]).astype(np.int64)
+        for w in ("train", "val", "test")
+    }
+    model = EvolveGCN(n_slices=T, in_feat=F0, hidden_feat=(4, 4, 3))
+    adapter = make_edge_adapter(
+        model,
+        {w: A for w in ("train", "val", "test")},
+        {w: X for w in ("train", "val", "test")},
+        edges,
+    )
+    assert "l2op" in adapter.bundles["train"]  # restricted path engaged
+    variables = adapter.init(jax.random.PRNGKey(1))
+    out_fast, (Wf_fast, W2f_fast) = adapter.logits(variables, "train")
+    AX = model.propagate(A, jnp.asarray(X))
+    out_ref, (Wf_ref, W2f_ref) = model.apply(
+        variables, A, jnp.asarray(X), jnp.asarray(edges["train"]), AX=AX
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fast), np.asarray(out_ref), rtol=1e-4, atol=1e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(Wf_fast), np.asarray(Wf_ref), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(W2f_fast), np.asarray(W2f_ref), rtol=1e-6, atol=1e-6
+    )
+    # explicit initial weights (the eval carry) thread identically
+    W0 = jnp.asarray(rng.standard_normal((F0, 4)).astype(np.float32))
+    W20 = jnp.asarray(rng.standard_normal((4, 4)).astype(np.float32))
+    out_fast2, _ = adapter.apply(variables, adapter.bundles["val"], (W0, W20))
+    out_ref2, _ = model.apply(
+        variables, A, jnp.asarray(X), jnp.asarray(edges["val"]), W0, W20, AX=AX
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_fast2), np.asarray(out_ref2), rtol=1e-4, atol=1e-4
+    )
+    # parameter gradients agree (the training path)
+    tgt = jnp.asarray(rng.standard_normal((E, 3)).astype(np.float32))
+
+    def loss_fast(p):
+        out, _ = adapter.apply(
+            {"params": p, "buffers": variables["buffers"]},
+            adapter.bundles["train"], (),
+        )
+        return jnp.sum((out - tgt) ** 2)
+
+    def loss_ref(p):
+        out, _ = model.apply(
+            {"params": p, "buffers": variables["buffers"]},
+            A, jnp.asarray(X), jnp.asarray(edges["train"]), AX=AX,
+        )
+        return jnp.sum((out - tgt) ** 2)
+
+    g_fast = jax.grad(loss_fast)(variables["params"])
+    g_ref = jax.grad(loss_ref)(variables["params"])
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=5e-4, atol=5e-4
+        ),
+        g_fast, g_ref,
+    )

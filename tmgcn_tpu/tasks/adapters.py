@@ -81,7 +81,8 @@ def _build_restricted_layer2(
     edges_np: np.ndarray,
     drop_last_slice: bool,
     operator: str = "auto",
-) -> None:
+    cached_key: str = "cached",
+) -> tuple[np.ndarray, np.ndarray]:
     """Restrict the layer-2 propagation to readout-visible rows.
 
     The edge readout only ever gathers embedding rows at labeled-edge
@@ -161,8 +162,8 @@ def _build_restricted_layer2(
         )
     bundle["l2op"] = jax.device_put(op)
     # One build-time device gather: the cached propagation at used rows.
-    F0 = bundle["cached"].shape[-1]
-    bundle["l2_Hin"] = bundle["cached"].reshape(T * N, F0)[
+    F0 = bundle[cached_key].shape[-1]
+    bundle["l2_Hin"] = bundle[cached_key].reshape(T * N, F0)[
         jnp.asarray(used, jnp.int32)
     ]
     bundle["l2_src"] = jax.device_put(
@@ -171,6 +172,7 @@ def _build_restricted_layer2(
     bundle["l2_trg"] = jax.device_put(
         jnp.asarray(np.searchsorted(uniq, trg_keys), jnp.int32)
     )
+    return uniq, used
 
 
 def _readout_fn(bundle: dict):
@@ -472,6 +474,103 @@ def make_edge_adapter(
 
             def initial_carry(variables):
                 return (variables["buffers"]["W_init1"],)
+
+            return ModelAdapter(model.init, apply, bundles, initial_carry)
+
+        restricted_e2 = model.n_layers == 2 and model.store_dtype == model.dtype
+        if restricted_e2:
+            # Probe the one-hot budget before building anything: the
+            # per-slice weight application needs (T, n_used) + (T, n_uniq)
+            # one-hot operands per window (n_used <= nnz is the cheap
+            # upper bound without flattening the stream; LP's 20x
+            # augmented edge sets blow this budget and keep the generic
+            # staged path).
+            oh_bytes = 0
+            for w in WINDOWS:
+                A = adj[w]
+                T_ = A.n_slices - (1 if drop_last_slice else 0)
+                e = np.asarray(edges[w], np.int64)
+                keys = np.concatenate([e[0] * A.n_nodes + e[1], e[0] * A.n_nodes + e[2]])
+                n_uniq = len(np.unique(keys))
+                n_used_bound = min(T_ * A.n_nodes, int(np.asarray(A.vals).size))
+                oh_bytes = max(oh_bytes, T_ * (n_uniq + n_used_bound) * 4)
+            restricted_e2 = oh_bytes <= 256 << 20
+
+        if restricted_e2:
+            # Readout-restricted layer 2 with per-slice EVOLVED weights:
+            # the staged forward (GRU-only scans + batched einsums) keeps
+            # one full-row per-epoch SpMM, A ⊛ H1 — by far the dominant
+            # cost (~470 of ~472 ms/epoch on chess). Row selection of the
+            # readout commutes with that SpMM, so the rectangular
+            # restricted operator computes only endpoint rows, exactly as
+            # the TMGCN2 restricted path — but here W1/W2 differ per
+            # slice, so they are applied row-wise through (T, n_rows)
+            # one-hot MXU matmuls (the proven 1-layer trick; row blocks
+            # are slice-sorted). H1 still materializes fully ONCE per
+            # epoch (a batched einsum, no SpMM) because the layer-2 top-k
+            # summaries score all N nodes (evolvegcn_functions.py:180-188).
+            from tmgcn_tpu.models.evolvegcn import evolve_weight_stack
+
+            for w in WINDOWS:
+                b = bundles[w]
+                uniq, used = _build_restricted_layer2(
+                    b, adj[w], np.asarray(edges[w]), drop_last_slice,
+                    operator="auto", cached_key="cached_ax",
+                )
+                T_, N_ = b["cached_ax"].shape[:2]
+                # (F0, n_used) transposed input rows of the cached A@X.
+                b["l2_HinT"] = b["l2_Hin"].T
+                for name, keys in (("used", used), ("uniq", uniq)):
+                    oh = np.zeros((T_, len(keys)), np.float32)
+                    oh[keys // N_, np.arange(len(keys))] = 1.0
+                    b[f"l2_{name}_ohT"] = jax.device_put(jnp.asarray(oh))
+                b = bundles[w] = jax.device_put(b)
+
+            def apply(variables, bundle, carry):
+                p = variables["params"]
+                b_init = variables["buffers"]
+                W0 = carry[0] if carry else b_init["W_init1"]
+                W20 = carry[1] if carry else b_init["W_init2"]
+                dtype = model.dtype
+                AX = bundle["cached_ax"]
+                # GRU-only weight evolutions (batched summaries).
+                W_fin, W1s = evolve_weight_stack(p["cell1"], bundle["X"], W0)
+                # einsum promotes like the staged path's per-step matmul.
+                H1 = jax.nn.relu(jnp.einsum("tnf,tfk->tnk", AX, W1s))
+                W2_fin, W2s = evolve_weight_stack(p["cell2"], H1, W20)
+                # Layer-1 at the used input rows, per-row slice weights:
+                # Wrow[f, k, u] = W1s[t_u, f, k] via one-hot matmul.
+                W1s = W1s.astype(dtype)
+                F0_, F1_ = W1s.shape[1], W1s.shape[2]
+                oh_used = bundle["l2_used_ohT"]
+                Wrow = (
+                    jnp.transpose(W1s, (1, 2, 0)).reshape(F0_ * F1_, -1) @ oh_used
+                ).reshape(F0_, F1_, -1)
+                HinT = bundle["l2_HinT"].astype(dtype)
+                H1uT = jax.nn.relu((Wrow * HinT[:, None, :]).sum(0))
+                # The restricted rectangular SpMM (endpoint rows only).
+                Zc = bundle["l2op"](H1uT.T).astype(dtype)
+                # Fold W2_t @ U before the per-edge gathers, per-slice.
+                U = p["U"].astype(dtype)
+                W2s = W2s.astype(dtype)
+                F2_ = W2s.shape[-1]
+                oh_uniq = bundle["l2_uniq_ohT"]
+                ZcT = Zc.T
+                logitsT = 0.0
+                for Upart, idx in (
+                    (U[:F2_], bundle["l2_src"]),
+                    (U[F2_:], bundle["l2_trg"]),
+                ):
+                    WU = jnp.einsum("tfk,kc->fct", W2s, Upart)
+                    F1b, C_ = WU.shape[0], WU.shape[1]
+                    Wu = (WU.reshape(F1b * C_, -1) @ oh_uniq).reshape(F1b, C_, -1)
+                    P = (Wu * ZcT[:, None, :]).sum(0)  # (C, n_uniq)
+                    logitsT = logitsT + P[:, idx]
+                return logitsT.T, (W_fin, W2_fin)
+
+            def initial_carry(variables):
+                b = variables["buffers"]
+                return (b["W_init1"], b["W_init2"])
 
             return ModelAdapter(model.init, apply, bundles, initial_carry)
 
