@@ -85,14 +85,34 @@ def evolve_weight_stack(
 
     The staging shared by every EvolveGCN fast path (single-device,
     sharded, classification and regression).
+
+    The input-side gate contributions ``W_g @ S_t + B_g`` depend only on
+    the (batched) summaries, so they hoist out of the scan as three
+    batched einsums; the sequential body keeps only the recurrent
+    ``U_g @ W`` halves, with U_Z/U_R stacked into one matmul (each
+    output element is the same length-F dot product, so f64 parity is
+    preserved per gate).
     """
     S = batched_summaries(cell, X, W0.shape[1])
+    # Bias added AFTER the recurrent term in the step — bit-identical
+    # summation order to gru_cell's (W@Xs + U@H) + B.
+    pre = {g: jnp.einsum("ij,tjk->tik", cell[f"W_{g}"], S) for g in "ZRH"}
+    UZR = jnp.concatenate([cell["U_Z"], cell["U_R"]], axis=0)  # (2F, F)
+    BZR = jnp.stack([cell["B_Z"], cell["B_R"]])
+    U_H, B_H = cell["U_H"], cell["B_H"]
+    f = U_H.shape[0]
 
-    def step(W, s):
-        W = gru_cell(cell, s, W)
+    def step(W, xs):
+        zr = jax.nn.sigmoid(
+            (jnp.stack([xs["Z"], xs["R"]]) + (UZR @ W).reshape(2, f, -1))
+            + BZR
+        )
+        Z, R = zr
+        Ht = jnp.tanh((xs["H"] + U_H @ (R * W)) + B_H)
+        W = (1.0 - Z) * W + Z * Ht
         return W, W
 
-    return jax.lax.scan(step, W0, S)
+    return jax.lax.scan(step, W0, pre, unroll=8)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -56,26 +56,33 @@ def lstm_scan(params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array) -> jax.A
       the scan boundary, not per step.
     """
     p = params
-    # (T, F, N) input-gate contributions, bias folded in.
-    pre = {
-        g: jnp.einsum("fk,tnf->tkn", p[f"W{g}"].astype(Y.dtype), Y)
-        + p[f"b{g}"][:, None]
-        for g in "fjco"
-    }
+    # (T, 4, F, N) input-gate contributions, bias folded in, all four
+    # gates stacked so the scan body issues ONE recurrent matmul.
+    pre = jnp.stack(
+        [
+            jnp.einsum("fk,tnf->tkn", p[f"W{g}"].astype(Y.dtype), Y)
+            + p[f"b{g}"][:, None]
+            for g in "fjoc"  # order must match the U concat below
+        ],
+        axis=1,
+    )
+    # (F, 4F): recurrent weights stacked on the output axis. Each output
+    # element is the same length-F dot product as the unfused version,
+    # so f64 parity is bit-compatible per gate.
+    U = jnp.concatenate([p["Uf"], p["Uj"], p["Uo"], p["Uc"]], axis=1)
+    F = p["Uf"].shape[0]
 
     def step(carry, xs):
         h, c = carry  # (F, N)
-        f = jax.nn.sigmoid(xs["f"] + p["Uf"].T @ h)
-        j = jax.nn.sigmoid(xs["j"] + p["Uj"].T @ h)
-        o = jax.nn.sigmoid(xs["o"] + p["Uo"].T @ h)
-        ct = jax.nn.sigmoid(xs["c"] + p["Uc"].T @ h)
+        z = xs + (U.T @ h).reshape(4, F, -1)  # one (4F, F)@(F, N) matmul
+        f, j, o, ct = jax.nn.sigmoid(z)
         c = j * ct + f * c
         h = o * jnp.tanh(c)
         return (h, c), h
 
     n = Y.shape[1]
     carry0 = (jnp.tile(h0[:, None], (1, n)), jnp.tile(c0[:, None], (1, n)))
-    _, Z = jax.lax.scan(step, carry0, pre)
+    _, Z = jax.lax.scan(step, carry0, pre, unroll=8)
     return jnp.swapaxes(Z, 1, 2)  # back to (T, N, F)
 
 
