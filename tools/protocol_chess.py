@@ -1,0 +1,575 @@
+"""Full-protocol chess accuracy: ours vs the actual reference drivers.
+
+VERDICT round-2 directive #1: run the reference's own protocol to
+completion on the one real in-repo dataset — 10,000-epoch edge
+classification for all four families (+ TM-GCN 2-layer) and 1,000-epoch
+link prediction — with BOTH frameworks consuming the identical artifact
+(built by our pipeline from data/chess/out.chess.csv, the same file the
+reference ships) and, for LP, the identical seeded negative-edge set
+(ours, monkeypatched into the reference's unseeded ``augment_edges``).
+Final accuracy / class-0 precision-recall-F1 / MAP-MRR per family go
+into RESULTS.md.
+
+Reference drivers (TensorGCN-master/): experiment_chess_our.py (+ its
+no_layers=2 branch), experiment_chess_baseline.py,
+experiment_chess_evolvegcn.py (2-layer), experiment_chess_wd-gcn.py,
+and the four *_link_prediction.py counterparts. Runs are unseeded on
+the reference side (SURVEY.md: no manual_seed anywhere), so comparisons
+are about converged levels, not trajectories.
+
+Modern-torch compatibility (documented divergences, applied only where
+the reference AS WRITTEN crashes on the in-image torch):
+  * TM-GCN/KWGCN drivers: the float32-ification set the round-2
+    cross-runs used (legacy sparse.FloatTensor rejects f64 values).
+  * EvolveGCN: the module is natively all-f64 (evolvegcn_functions.py
+    .double() params); drivers feed it f32 tensors, which modern torch
+    rejects — the cls leg promotes the driver tensors to f64
+    (DoubleTensor), the LP leg (whose data flows through ehf.load_data's
+    f32 path) f32-ifies the module instead.
+  * WD-GCN: the module is f32 but the driver .double()s its inputs —
+    f32-ify the driver (the module is untouched).
+
+Usage (one leg per process so legs parallelize across cores):
+    python tools/protocol_chess.py ref  --family tmgcn1 --task cls
+    python tools/protocol_chess.py ours --family tmgcn1 --task cls
+    python tools/protocol_chess.py table
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import pickle
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+sys.path.insert(0, str(REPO / "tests"))
+
+REFERENCE_DIR = Path("/root/reference/TensorGCN-master")
+OUT_DIR = REPO / "results/protocol_chess"
+
+CLS_EPOCHS = 10_000
+LP_EPOCHS = 1_000
+LP_ALPHA = 0.90
+
+# The round-2 cross-run float32 compatibility set (see
+# tools/cross_run_reference.py DTYPE_TRANSFORMS).
+F32_TRANSFORMS = [
+    (".double()", ".float()"),
+    ("dtype=t.float64", "dtype=t.float32"),
+    ("A_sz = t.Size([T, N, N])", "A_sz = t.Size([int(T), int(N), int(N)])"),
+    (
+        "C_sz = t.Size([S_train, N, N])",
+        "C_sz = t.Size([int(S_train), int(N), int(N)])",
+    ),
+]
+# Chess drivers load these keys (experiment_chess_our.py:44-48).
+F32_VALUE_KEYS = [
+    "tensor_labels", "C_vals",
+    "Ct_train_vals", "Ct_val_vals", "Ct_test_vals",
+    "A_labels_vals",
+]
+for _k in F32_VALUE_KEYS:
+    F32_TRANSFORMS.append(
+        (
+            f'sq(t.tensor(saved_content["{_k}"]))',
+            f'sq(t.tensor(saved_content["{_k}"])).float()',
+        )
+    )
+
+# EvolveGCN cls leg: promote the driver to f64 end-to-end instead
+# (the module's params are natively .double()).
+F64_DRIVER_TRANSFORMS = [
+    ("t.sparse.FloatTensor", "t.sparse.DoubleTensor"),
+    ("A_sz = t.Size([T, N, N])", "A_sz = t.Size([int(T), int(N), int(N)])"),
+    (
+        "C_sz = t.Size([S_train, N, N])",
+        "C_sz = t.Size([int(S_train), int(N), int(N)])",
+    ),
+    (
+        "t.ones(A_labels._values().shape)",
+        "t.ones(A_labels._values().shape, dtype=t.float64)",
+    ),
+    # class_weights / X stay f32: the module's per-slice Y buffer is f32
+    # (evolvegcn_functions.py:164), so logits and loss run in f32 exactly
+    # as the reference writes them.
+]
+for _k in F32_VALUE_KEYS:
+    F64_DRIVER_TRANSFORMS.append(
+        (
+            f'sq(t.tensor(saved_content["{_k}"]))',
+            f'sq(t.tensor(saved_content["{_k}"])).double()',
+        )
+    )
+
+
+def ensure_artifact() -> Path:
+    """Our preprocessed chess artifact (cached in data/chess)."""
+    from tmgcn_tpu.preprocess.datasets import REGISTRY, load_raw
+    from tmgcn_tpu.preprocess.matio import save_artifact
+    from tmgcn_tpu.preprocess.pipeline import preprocess
+
+    d = REPO / "data/chess"
+    mat = d / "saved_content_chess.mat"
+    if not mat.exists():
+        spec = REGISTRY["chess"]
+        save_artifact(mat, preprocess(load_raw(spec, d), spec.preprocess))
+    return mat
+
+
+def shared_negatives(mat: Path):
+    """The seeded negative-edge set BOTH frameworks score (cached).
+
+    Real edges ordered exactly as torch coalesce orders them
+    (lexsort by slice, src, trg) so the reference's edge stream is
+    reproduced; our seeded sampler (tasks/sampling.py) augments them.
+    """
+    import scipy.io as sio
+
+    from tmgcn_tpu.tasks.sampling import augment_edges as our_augment
+
+    cache = OUT_DIR / "negatives.npz"
+    if cache.exists():
+        z = np.load(cache)
+        return z["aug"], z["labels"]
+    content = sio.loadmat(mat)
+    subs = np.asarray(content["A_labels_subs"], np.int64)
+    if subs.shape[0] == 3 and subs.shape[1] != 3:
+        subs = subs.T
+    e = (subs - 1).T  # (3, E) 0-based [slice, src, trg]
+    order = np.lexsort((e[2], e[1], e[0]))
+    e = e[:, order]
+    N = int(max(e[1].max(), e[2].max())) + 1
+    aug, labels = our_augment(e, N, 19, 19, 80, seed=0)
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    np.savez(cache, aug=np.asarray(aug), labels=np.asarray(labels))
+    return np.asarray(aug), np.asarray(labels)
+
+
+# ---------------------------------------------------------------------------
+# Shared metric computation (identical numpy code scores both sides).
+# ---------------------------------------------------------------------------
+
+
+def cls_window_metrics(out: np.ndarray, tgt: np.ndarray, mask, cw) -> dict:
+    """accuracy + per-class one-vs-rest P/R/F1 + weighted CE loss."""
+    from tmgcn_tpu.tasks import metrics as M
+
+    out = np.asarray(out, np.float64)
+    tgt = np.asarray(tgt)
+    if mask is not None:
+        out, tgt = out[mask], tgt[mask]
+    guess = out.argmax(axis=1)
+    res = {
+        "accuracy": float((guess == tgt).mean()),
+        "loss": float(M.weighted_ce_loss_np(out, tgt, np.asarray(cw))),
+    }
+    for c in range(out.shape[1]):
+        tp = float(((guess == c) & (tgt == c)).sum())
+        fp = float(((guess == c) & (tgt != c)).sum())
+        fn = float(((guess != c) & (tgt == c)).sum())
+        with np.errstate(invalid="ignore", divide="ignore"):
+            p = tp / (tp + fp) if tp + fp else float("nan")
+            r = tp / (tp + fn) if tp + fn else float("nan")
+            f1 = 2 * p * r / (p + r) if (tp + fp and tp + fn and p + r) else float("nan")
+        res[f"f1_class{c}"] = float(f1)
+        res[f"precision_class{c}"] = float(p)
+        res[f"recall_class{c}"] = float(r)
+    return res
+
+
+def write_result(side: str, family: str, task: str, payload: dict) -> Path:
+    OUT_DIR.mkdir(parents=True, exist_ok=True)
+    path = OUT_DIR / f"{side}_{family}_{task}.json"
+    path.write_text(json.dumps(payload, indent=1))
+    print(f"wrote {path}")
+    return path
+
+
+# ---------------------------------------------------------------------------
+# Reference side
+# ---------------------------------------------------------------------------
+
+
+def exec_driver(
+    driver: str,
+    patches: list[tuple[str, str]],
+    soft_transforms: list[tuple[str, str]],
+    workdir: Path,
+    preload: list[tuple[str, list | None]],
+    post_load=None,
+    append: str = "",
+) -> dict:
+    """Exec a patched reference driver; return its globals of interest."""
+    from reference_loader import load_reference_module
+
+    for name, transforms in preload:
+        mod = load_reference_module(name, transforms=transforms, alias=name)
+        if post_load is not None:
+            post_load(name, mod)
+    src = (REFERENCE_DIR / f"{driver}.py").read_text()
+    for old, new in patches:
+        if old not in src:
+            raise RuntimeError(f"{driver}: driver patch not found: {old!r}")
+        src = src.replace(old, new)
+    for old, new in soft_transforms:
+        src = src.replace(old, new)
+    src += append
+    workdir.mkdir(parents=True, exist_ok=True)
+    cwd = os.getcwd()
+    os.chdir(workdir)
+    g = {"__name__": "__main__"}
+    try:
+        exec(compile(src, f"{driver}_protocol.py", "exec"), g)
+    finally:
+        os.chdir(cwd)
+    return g
+
+
+# Post-training eval recomputation per cls family (runs after the
+# driver's own loop; mirrors each driver's eval block exactly).
+CLS_APPEND = {
+    "tmgcn": """
+with t.no_grad():
+    _ov = gcn(Ct_val_2, X_val, edges_val)
+    _ot = gcn(Ct_test_2, X_test, edges_test)
+""",
+    "gcn": """
+with t.no_grad():
+    _ov = gcn(C_val, X_val, edges_val)
+    _ot = gcn(C_test, X_test, edges_test)
+""",
+    "evolvegcn": """
+with t.no_grad():
+    _ov, _Wt, _W2t = gcn(C_val, X_val, edges_val, W_val, W2_val)
+    _ot, _, _ = gcn(C_test, X_test, edges_test, _Wt, _W2t)
+""",
+    "wdgcn": """
+with t.no_grad():
+    _ov = gcn(C_val, X_val, edges_val)
+    _ot = gcn(C_test, X_test, edges_test)
+""",
+}
+
+CLS_DUMP = """
+import pickle as _pkl
+_pkl.dump({
+    "output_train": output_train.detach().double().numpy(),
+    "target_train": target_train.numpy(),
+    "output_val": _ov.double().numpy(),
+    "target_val": target_val.numpy(),
+    "eval_idx_val": (evaluation_idx_val.numpy()
+                     if "evaluation_idx_val" in dir() else None),
+    "output_test": _ot.double().numpy(),
+    "target_test": target_test.numpy(),
+    "eval_idx_test": (evaluation_idx_test.numpy()
+                      if "evaluation_idx_test" in dir() else None),
+    "ep_acc_loss": ep_acc_loss,
+}, open("final_outputs.pkl", "wb"))
+"""
+
+
+def _ref_cls_spec(family: str, mat: Path, epochs: int):
+    """(driver, patches, soft_transforms, preload) for one cls family."""
+    datadir_patch = ('data_loc = "data/" + dataset + "/"', f'data_loc = "{mat.parent}/"')
+    epochs_patch = ("no_epochs = 10000", f"no_epochs = {epochs}")
+    ehf_f32 = ("embedding_help_functions", F32_TRANSFORMS)
+    if family == "tmgcn1":
+        return ("experiment_chess_our", [datadir_patch, epochs_patch],
+                F32_TRANSFORMS, [ehf_f32], "tmgcn")
+    if family == "tmgcn2":
+        return ("experiment_chess_our",
+                [datadir_patch, epochs_patch, ("no_layers = 1", "no_layers = 2")],
+                F32_TRANSFORMS, [ehf_f32], "tmgcn")
+    if family == "gcn":
+        return ("experiment_chess_baseline", [datadir_patch, epochs_patch],
+                F32_TRANSFORMS, [ehf_f32], "gcn")
+    if family == "evolvegcn":
+        # Reference chess EvolveGCN is 2-layer (experiment_chess_evolvegcn.py:24).
+        return ("experiment_chess_evolvegcn", [datadir_patch, epochs_patch],
+                F64_DRIVER_TRANSFORMS,
+                [("evolvegcn_functions", None)], "evolvegcn")
+    if family == "wdgcn":
+        return ("experiment_chess_wd-gcn", [datadir_patch, epochs_patch],
+                F32_TRANSFORMS, [("wd_gcn_functions", None)], "wdgcn")
+    raise ValueError(f"unknown cls family {family!r}")
+
+
+def run_ref_cls(family: str, epochs: int) -> dict:
+    mat = ensure_artifact()
+    driver, patches, soft, preload, kind = _ref_cls_spec(family, mat, epochs)
+    workdir = OUT_DIR / f"ref_{family}_cls_work"
+    t0 = time.time()
+    exec_driver(driver, patches, soft, workdir, preload,
+                append=CLS_APPEND[kind] + CLS_DUMP)
+    wall = time.time() - t0
+    d = pickle.load(open(workdir / "final_outputs.pkl", "rb"))
+    cw = [1 / 3] * 3
+    payload = {
+        "side": "reference", "family": family, "task": "cls",
+        "epochs": epochs, "wall_s": wall,
+        "train": cls_window_metrics(d["output_train"], d["target_train"], None, cw),
+        "val": cls_window_metrics(
+            d["output_val"], d["target_val"], d["eval_idx_val"], cw
+        ),
+        "test": cls_window_metrics(
+            d["output_test"], d["target_test"], d["eval_idx_test"], cw
+        ),
+        "final_train_loss_driver": float(d["ep_acc_loss"][-1, 1]),
+    }
+    return write_result("ref", family, "cls", payload) and payload
+
+
+def run_ref_lp(family: str, epochs: int) -> dict:
+    mat = ensure_artifact()
+    aug, labels = shared_negatives(mat)
+
+    import torch as t
+
+    aug_t = t.tensor(aug, dtype=t.long)
+    labels_t = t.tensor(labels, dtype=t.long)
+
+    drivers = {
+        "tmgcn1": "experiment_chess_our_link_prediction",
+        "gcn": "experiment_chess_baseline_link_prediction",
+        "evolvegcn": "experiment_chess_evolvegcn_link_prediction",
+        "wdgcn": "experiment_chess_wd-gcn_link_prediction",
+    }
+    driver = drivers[family]
+    patches = [
+        ("no_epochs = 1000", f"no_epochs = {epochs}"),
+        (
+            "alpha_vec = [.75, .76, .77, .78, .79, .80, .81, .82, .83, .84, "
+            ".85, .86, .87, .88, .89, .90, .91, .92, .93, .94, .95]",
+            f"alpha_vec = [{LP_ALPHA}]",
+        ),
+        ('data_loc = "data/" + dataset + "/"', f'data_loc = "{mat.parent}/"'),
+    ]
+    # LP data flows through ehf.load_data's f32 path; f32-ify the
+    # recurrent modules so their params match (modern torch rejects the
+    # mixed f64-param/f32-input calls the drivers otherwise make).
+    preload: list = [("embedding_help_functions", F32_TRANSFORMS)]
+    if family == "evolvegcn":
+        preload.append(("evolvegcn_functions", [(".double()", ".float()")]))
+    elif family == "wdgcn":
+        preload.append(("wd_gcn_functions", None))
+
+    def inject(name, mod):
+        if name == "embedding_help_functions":
+            mod.augment_edges = lambda edges, N_, b1, b2, cut: (aug_t, labels_t)
+
+    workdir = OUT_DIR / f"ref_{family}_lp_work"
+    t0 = time.time()
+    exec_driver(driver, patches, F32_TRANSFORMS, workdir, preload, post_load=inject)
+    wall = time.time() - t0
+    res = sorted(workdir.glob("results_*link_prediction"))
+    if not res:
+        res = sorted(p for p in workdir.glob("results_*") if p.is_file())
+    arr = pickle.load(open(res[-1], "rb"))
+    final = np.asarray(arr)[-1]
+    payload = {
+        "side": "reference", "family": family, "task": "lp",
+        "epochs": epochs, "wall_s": wall, "alpha": LP_ALPHA,
+        "train": {"map": float(final[0]), "mrr": float(final[1]), "loss": float(final[2])},
+        "val": {"map": float(final[3]), "mrr": float(final[4]), "loss": float(final[5])},
+        "test": {"map": float(final[6]), "mrr": float(final[7]), "loss": float(final[8])},
+    }
+    return write_result("ref", family, "lp", payload) and payload
+
+
+# ---------------------------------------------------------------------------
+# Our side
+# ---------------------------------------------------------------------------
+
+OUR_CLS_PRESETS = {
+    "tmgcn1": "chess_tmgcn_cls",
+    "tmgcn2": "chess_tmgcn2_cls",
+    "gcn": "chess_gcn_cls",
+    "evolvegcn": "chess_evolvegcn2_cls",  # reference chess EvolveGCN is 2-layer
+    "wdgcn": "chess_wdgcn_cls",
+}
+OUR_LP_PRESETS = {
+    "tmgcn1": "chess_tmgcn_lp",
+    "gcn": "chess_gcn_lp",
+    "evolvegcn": "chess_evolvegcn_lp",
+    "wdgcn": "chess_wdgcn_lp",
+}
+
+
+def run_ours_cls(family: str, epochs: int) -> dict:
+    import jax
+
+    from tmgcn_tpu.configs.build import build_data, build_model
+    from tmgcn_tpu.configs.presets import get_preset
+    from tmgcn_tpu.tasks.adapters import make_edge_adapter
+    from tmgcn_tpu.tasks.windows import split_edges_classification
+    from tmgcn_tpu.train.loop import TrainConfig, run_edge_classification
+
+    mat = ensure_artifact()
+    cfg = get_preset(OUR_CLS_PRESETS[family])
+    data = build_data(cfg, artifact=mat)
+    splits = split_edges_classification(
+        data.edge_index, data.edge_values, data.spec, n_classes=cfg.n_classes
+    )
+    model = build_model(cfg, data.spec.s_train, data.feats["train"].shape[-1])
+    adapter = make_edge_adapter(
+        model, data.adj, data.feats,
+        {w: splits[w].edges for w in ("train", "val", "test")},
+        M=data.M if cfg.method == "tmgcn" else None,
+    )
+    cw = np.array([1 / 3] * 3)
+    tcfg = TrainConfig(n_epochs=epochs, lr=cfg.lr, momentum=cfg.momentum,
+                       eval_every=cfg.eval_every, verbose=False)
+    t0 = time.time()
+    results, variables = run_edge_classification(
+        adapter, splits, cw, tcfg, key=jax.random.PRNGKey(cfg.seed)
+    )
+    wall = time.time() - t0
+
+    # Final re-eval (same train -> val -> test carry threading the loop
+    # and the reference use), scored by the same metric code as ref.
+    out_tr, carry = adapter.apply(
+        {"params": variables["params"], "buffers": variables["buffers"]},
+        adapter.bundles["train"], (),
+    )
+    windows = {"train": cls_window_metrics(out_tr, splits["train"].target, None, cw)}
+    for w in ("val", "test"):
+        out, carry = adapter.apply(
+            {"params": variables["params"], "buffers": variables["buffers"]},
+            adapter.bundles[w], carry,
+        )
+        windows[w] = cls_window_metrics(
+            out, splits[w].target, splits[w].eval_mask, cw
+        )
+    payload = {
+        "side": "ours", "family": family, "task": "cls",
+        "preset": OUR_CLS_PRESETS[family], "epochs": epochs, "wall_s": wall,
+        **windows,
+        "final_train_loss_loop": float(results[-1, 3]),
+    }
+    return write_result("ours", family, "cls", payload) and payload
+
+
+def run_ours_lp(family: str, epochs: int) -> dict:
+    import jax
+
+    from tmgcn_tpu.configs.build import build_data, build_model
+    from tmgcn_tpu.configs.presets import get_preset
+    from tmgcn_tpu.tasks.adapters import make_edge_adapter
+    from tmgcn_tpu.tasks.windows import split_data_link_prediction
+    from tmgcn_tpu.train.loop import TrainConfig, run_link_prediction
+
+    mat = ensure_artifact()
+    aug, labels = shared_negatives(mat)
+    cfg = get_preset(OUR_LP_PRESETS[family])
+    data = build_data(cfg, artifact=mat)
+    data = dataclasses.replace(data, lp_edges=aug, lp_labels=labels)
+    splits = split_data_link_prediction(data.lp_edges, data.lp_labels, data.spec)
+    model = build_model(cfg, data.spec.s_train - 1, data.feats["train"].shape[-1])
+    adapter = make_edge_adapter(
+        model, data.adj, data.feats,
+        {w: splits[w].model_edges for w in ("train", "val", "test")},
+        M=data.M if cfg.method == "tmgcn" else None,
+        drop_last_slice=True,
+    )
+    cw = np.array([LP_ALPHA, 1 - LP_ALPHA])
+    tcfg = TrainConfig(n_epochs=epochs, lr=cfg.lr, momentum=cfg.momentum,
+                       eval_every=cfg.eval_every, verbose=False)
+    t0 = time.time()
+    results, _ = run_link_prediction(
+        adapter, splits, cw, tcfg, key=jax.random.PRNGKey(cfg.seed),
+        loss_type=cfg.loss_type, eval_type=cfg.eval_type,
+    )
+    wall = time.time() - t0
+    final = results[-1]
+    payload = {
+        "side": "ours", "family": family, "task": "lp",
+        "preset": OUR_LP_PRESETS[family], "epochs": epochs, "wall_s": wall,
+        "alpha": LP_ALPHA,
+        "train": {"map": float(final[0]), "mrr": float(final[1]), "loss": float(final[2])},
+        "val": {"map": float(final[3]), "mrr": float(final[4]), "loss": float(final[5])},
+        "test": {"map": float(final[6]), "mrr": float(final[7]), "loss": float(final[8])},
+    }
+    return write_result("ours", family, "lp", payload) and payload
+
+
+# ---------------------------------------------------------------------------
+# Table
+# ---------------------------------------------------------------------------
+
+
+def print_table() -> dict:
+    rows = {}
+    for p in sorted(OUT_DIR.glob("*.json")):
+        if p.name == "table.json":
+            continue
+        d = json.loads(p.read_text())
+        rows[(d["task"], d["family"], d["side"])] = d
+
+    out = {"cls": [], "lp": []}
+    fams_cls = ["tmgcn1", "tmgcn2", "gcn", "evolvegcn", "wdgcn"]
+    fams_lp = ["tmgcn1", "gcn", "evolvegcn", "wdgcn"]
+    print(f"{'family':12s} {'side':5s} {'train_acc':>9s} {'val_acc':>9s} "
+          f"{'test_acc':>9s} {'val_f1c0':>9s} {'test_f1c0':>9s} {'wall_s':>8s}")
+    for fam in fams_cls:
+        for side in ("ref", "ours"):
+            d = rows.get(("cls", fam, side))
+            if d is None:
+                continue
+            out["cls"].append(d)
+            print(
+                f"{fam:12s} {side:5s} {d['train']['accuracy']:9.4f} "
+                f"{d['val']['accuracy']:9.4f} {d['test']['accuracy']:9.4f} "
+                f"{d['val']['f1_class0']:9.4f} {d['test']['f1_class0']:9.4f} "
+                f"{d['wall_s']:8.1f}"
+            )
+    print()
+    print(f"{'family':12s} {'side':5s} {'train_MAP':>9s} {'val_MAP':>9s} "
+          f"{'test_MAP':>9s} {'val_MRR':>9s} {'test_MRR':>9s} {'wall_s':>8s}")
+    for fam in fams_lp:
+        for side in ("ref", "ours"):
+            d = rows.get(("lp", fam, side))
+            if d is None:
+                continue
+            out["lp"].append(d)
+            print(
+                f"{fam:12s} {side:5s} {d['train']['map']:9.4f} "
+                f"{d['val']['map']:9.4f} {d['test']['map']:9.4f} "
+                f"{d['val']['mrr']:9.4f} {d['test']['mrr']:9.4f} "
+                f"{d['wall_s']:8.1f}"
+            )
+    (OUT_DIR / "table.json").write_text(json.dumps(out, indent=1))
+    return out
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("side", choices=["ref", "ours", "table"])
+    ap.add_argument("--family")
+    ap.add_argument("--task", choices=["cls", "lp"])
+    ap.add_argument("--epochs", type=int, default=None)
+    args = ap.parse_args()
+
+    if args.side == "table":
+        print_table()
+        return 0
+    epochs = args.epochs or (CLS_EPOCHS if args.task == "cls" else LP_EPOCHS)
+    fn = {
+        ("ref", "cls"): run_ref_cls,
+        ("ref", "lp"): run_ref_lp,
+        ("ours", "cls"): run_ours_cls,
+        ("ours", "lp"): run_ours_lp,
+    }[(args.side, args.task)]
+    fn(args.family, epochs)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

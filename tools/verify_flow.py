@@ -48,7 +48,11 @@ variables = adapter.init(jax.random.PRNGKey(0))
 params = variables["params"]
 tgt = jnp.asarray(rng.integers(0, 3, E))
 cw = jnp.ones(3) / 3
-opt = optax.sgd(0.1)
+# lr small enough that std-normal-init logits (scale ~1e3 here) do not
+# saturate the classifier to uniform predictions: the gate below requires
+# the loss to DROP below the uniform-prediction baseline ln(3), not just
+# run (ADVICE round 2).
+opt = optax.sgd(1e-5)
 state = opt.init(params)
 
 
@@ -64,9 +68,17 @@ def step(params, state, bundle):
 
 
 bundle = adapter.bundles["train"]
-for i in range(5):
+losses = []
+for i in range(40):
     params, state, loss = step(params, state, bundle)
-    print(f"step {i}: loss {float(loss):.6f}", flush=True)
+    losses.append(float(loss))
+    if i % 8 == 0 or i == 39:
+        print(f"step {i}: loss {losses[-1]:.6f}", flush=True)
 print("loss devices:", loss.devices(), flush=True)
-assert np.isfinite(float(loss))
+assert np.isfinite(losses[-1])
+# Training must actually reduce the loss, and must not have collapsed to
+# the uniform-prediction fixed point ln(3) ~ 1.0986 (the round-2 failure
+# mode the old run-only gate could not catch).
+assert losses[-1] < losses[0], (losses[0], losses[-1])
+assert not np.isclose(losses[-1], np.log(3.0), atol=1e-4), losses[-1]
 print("VERIFY OK", flush=True)
