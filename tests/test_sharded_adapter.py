@@ -340,3 +340,76 @@ class TestRegressionParity:
             res_sh["train_loss"], res_ref["train_loss"], rtol=1e-4
         )
         np.testing.assert_allclose(res_sh["val_l1"], res_ref["val_l1"], rtol=1e-3)
+
+
+@pytest.mark.parametrize("mesh_shape", [(4, 2), (1, 8)])
+class TestKWGCNAndMTwiceParity:
+    """Round-3 scope-guard closures: sharded KWGCN and the UCI
+    apply_M_twice/apply_M_three_times layer-2 (VERDICT round-2 #4)."""
+
+    def test_kwgcn1(self, problem, mesh_shape):
+        from tmgcn_tpu.models.gcn import KWGCN
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = KWGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 2))
+        ref = make_edge_adapter(model, adj, feats, edict)
+        mesh = make_mesh(*mesh_shape)
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, None, mesh)
+        variables = ref.init(jax.random.PRNGKey(0))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(sh.init(jax.random.PRNGKey(0)), sh.bundles["train"], ())
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+
+    def test_kwgcn2(self, problem, mesh_shape):
+        from tmgcn_tpu.models.gcn import KWGCN
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = KWGCN(
+            n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 6, 2), nonlin2="selu"
+        )
+        ref = make_edge_adapter(model, adj, feats, edict)
+        mesh = make_mesh(*mesh_shape)
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, None, mesh)
+        variables = ref.init(jax.random.PRNGKey(1))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(sh.init(jax.random.PRNGKey(1)), sh.bundles["train"], ())
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+
+    @pytest.mark.parametrize("m3", [False, True])
+    def test_tmgcn2_m_twice(self, problem, mesh_shape, m3):
+        A, M, X, edges, adj, feats, edict = problem
+        model = TMGCN2(
+            n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 6, 2),
+            nonlin2="selu", apply_M_twice=True, apply_M_three_times=m3,
+        )
+        ref = make_edge_adapter(model, adj, feats, edict, M=M)
+        mesh = make_mesh(*mesh_shape)
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, M, mesh)
+        variables = ref.init(jax.random.PRNGKey(2))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_sh, _ = sh.apply(sh.init(jax.random.PRNGKey(2)), sh.bundles["train"], ())
+        np.testing.assert_allclose(np.asarray(out_sh), np.asarray(out_ref), atol=2e-5)
+
+    def test_kwgcn_disjoint_window_widths(self, problem, mesh_shape):
+        """KWGCN baselines use disjoint windows of DIFFERENT widths; the
+        per-window identity M must size to each (round-3 CLI bug)."""
+        from tmgcn_tpu.models.gcn import KWGCN
+
+        A, M, X, edges, adj, feats, edict = problem
+        rng = np.random.default_rng(7)
+        adj2 = {"train": A, "val": A.slice_window(0, 4), "test": A.slice_window(4, 8)}
+        feats2 = {"train": X, "val": X[:4], "test": X[4:]}
+        e_val = edges.copy()
+        e_val[0] = rng.integers(0, 4, edges.shape[1])
+        edict2 = {"train": edges, "val": e_val, "test": e_val}
+        model = KWGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 2))
+        ref = make_edge_adapter(model, adj2, feats2, edict2)
+        mesh = make_mesh(*mesh_shape)
+        sh = make_sharded_edge_adapter(model, adj2, feats2, edict2, None, mesh)
+        variables = ref.init(jax.random.PRNGKey(0))
+        for w in ("train", "val", "test"):
+            out_ref, _ = ref.apply(variables, ref.bundles[w], ())
+            out_sh, _ = sh.apply(variables, sh.bundles[w], ())
+            np.testing.assert_allclose(
+                np.asarray(out_sh), np.asarray(out_ref), atol=2e-5
+            )

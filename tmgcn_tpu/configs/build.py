@@ -349,9 +349,9 @@ def _make_adapter(cfg, model, data, splits_edges, mesh_shape, drop_last_slice=Fa
             model, data.adj, data.feats, splits_edges, M=M,
             drop_last_slice=drop_last_slice,
         )
-    if cfg.method not in ("tmgcn", "evolvegcn", "wdgcn"):
+    if cfg.method not in ("tmgcn", "gcn", "evolvegcn", "wdgcn"):
         raise NotImplementedError(
-            f"--mesh supports tmgcn/evolvegcn/wdgcn models, not {cfg.method!r}"
+            f"--mesh supports tmgcn/gcn/evolvegcn/wdgcn models, not {cfg.method!r}"
         )
     from tmgcn_tpu.parallel.adapter import make_sharded_edge_adapter
     from tmgcn_tpu.parallel.mesh import make_mesh

@@ -47,6 +47,7 @@ from tmgcn_tpu.core.mmatrix import band_offsets
 from tmgcn_tpu.core.sparse import TemporalCOO
 from tmgcn_tpu.models.common import nonlinearity
 from tmgcn_tpu.models.evolvegcn import EvolveGCN
+from tmgcn_tpu.models.gcn import KWGCN
 from tmgcn_tpu.models.tmgcn import TMGCN, TMGCN2
 from tmgcn_tpu.models.wdgcn import WDGCN
 from tmgcn_tpu.parallel.halo import banded_m_transform_local, local_banded_m
@@ -140,6 +141,11 @@ class _ShardCfg:
     # Block-dense layer-2 mode string ("exact"/"fast"/"bf16"), or None
     # when the gather/segment path is used instead.
     l2_bd: str | None = None
+    # Layer-2 M-mixing (the UCI apply_M_twice / apply_M_three_times
+    # configuration, embedding_help_functions.py:342-346): each extra
+    # mixing is one more banded halo exchange along ``time``.
+    m2: bool = False
+    m3: bool = False
 
 
 def _l2_shard_streams(A_sh, n_time: int):
@@ -257,9 +263,10 @@ def _make_propagate(mesh: Mesh, sc: _ShardCfg):
 def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
     """shard_map'd per-step forward: cached AtXt shard -> bucket logits."""
 
-    def local(params, H_loc, rows, cols, vals, l2op_parts, edges_b, mask):
+    def local(params, H_loc, rows, cols, vals, l2op_parts, m_blocks, edges_b, mask):
         rows, cols, vals = rows[:, 0], cols[:, 0], vals[:, 0]
         edges_b, mask = edges_b[0], mask[0]
+        m_block = m_blocks[0]
         dtype = sc.dtype
         H = H_loc.astype(dtype)  # reference f32 buffer truncation
         U = params["U"].astype(dtype)
@@ -267,6 +274,12 @@ def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
             Y_loc = jnp.matmul(H, params["W"].astype(dtype))
         else:
             Y = nonlinearity(sc.nonlin2)(jnp.matmul(H, params["W1"].astype(dtype)))
+            if sc.m2:
+                # apply_M_twice: re-mix the layer-1 output through M
+                # before the layer-2 propagation — node-local, so it
+                # runs on the (time, graph)-sharded tensor with one more
+                # banded halo exchange along time.
+                Y = banded_m_transform_local(Y, m_block, sc.halo)
             # Layer-2 SpMM gathers full-graph rows of this shard's
             # slices: one all-gather along graph (F1-wide — small).
             Y_rows = jax.lax.all_gather(Y, GRAPH_AXIS, axis=1, tiled=True)
@@ -295,6 +308,11 @@ def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
                     lambda r, c, v, x: _local_spmm(r, c, v, x, sc.n_local_rows)
                 )(rows, cols, vals, Y_rows)
             Y_loc = jnp.matmul(Z.astype(dtype), params["W2"].astype(dtype))
+            if sc.m3:
+                # apply_M_three_times: one final banded mixing after
+                # layer 2 (native dtype — the reference's f64 upcast is
+                # its interlayer_dtype parity quirk, unsupported here).
+                Y_loc = banded_m_transform_local(Y_loc, m_block, sc.halo)
         T_loc, N_loc, F = Y_loc.shape
         flat = Y_loc.reshape(T_loc * N_loc, F)
         return readout_partitioned(flat, edges_b, mask, U, sc.n_local_rows)[None]
@@ -313,6 +331,7 @@ def _make_step_forward(mesh: Mesh, sc: _ShardCfg):
             P(TIME_AXIS, GRAPH_AXIS, None),  # cached AtXt
             spec_A, spec_A, spec_A,
             l2_spec,  # per-shard block-dense operator parts (or empty)
+            P(TIME_AXIS, None, None),  # per-shard banded M blocks
             P(TIME_AXIS, None, None),  # edge buckets
             P(TIME_AXIS, None),  # bucket mask
         ),
@@ -333,11 +352,13 @@ def make_sharded_edge_adapter(
 ) -> ModelAdapter:
     """Sharded drop-in for tasks.adapters.make_edge_adapter.
 
-    Supports TMGCN and TMGCN2 (condensed_W, use_Minv=False, default
-    second-layer path — the configurations every reference driver uses)
-    over a (graph x time) mesh, and the recurrent families (EvolveGCN,
-    WD-GCN) over the graph axis (their time recurrence is sequential;
-    require n_time == 1).
+    Supports TMGCN and TMGCN2 (condensed_W, use_Minv=False; layer-2
+    default path AND the UCI apply_M_twice/apply_M_three_times mixing,
+    each extra mixing one more banded halo exchange) and KWGCN (the
+    no-M baseline: the same machinery with an identity M, so the banded
+    exchange degenerates to a copy with halo 0) over a (graph x time)
+    mesh, plus the recurrent families (EvolveGCN, WD-GCN) over the graph
+    axis (their time recurrence is sequential; require n_time == 1).
 
     l2_impl selects the per-epoch layer-2 SpMM implementation:
     "blockdense" (each shard applies its own block-dense operator),
@@ -349,11 +370,28 @@ def make_sharded_edge_adapter(
         return _make_recurrent_sharded_adapter(
             model, adj, feats, edges, mesh, drop_last_slice
         )
-    if isinstance(model, TMGCN2):
-        if model.use_Minv or model.apply_M_twice or not model.condensed_W:
+    m2 = m3 = False
+    remap_params = None
+    if isinstance(model, KWGCN):
+        # KWGCN = the TM-GCN pipeline with no temporal mixing: run the
+        # same sharded machinery under an identity M (halo 0 — the
+        # banded exchange degenerates to a local copy).
+        if model.interlayer_dtype is not None:
             raise NotImplementedError(
-                "sharded TMGCN2 supports the default path "
-                "(condensed_W, no Minv/apply_M_twice)"
+                "sharded KWGCN does not reproduce interlayer_dtype (the "
+                "f64 parity cast); use the single-device adapter"
+            )
+        n_layers = model.n_layers
+        nonlin2 = model.nonlin2
+        M = np.eye(adj["train"].n_slices)
+        if n_layers == 1:
+            # 1-layer KWGCN names its weight W1 (models/gcn.py); the
+            # shared step kernel reads W.
+            remap_params = lambda p: {"W": p["W1"], "U": p["U"]}
+    elif isinstance(model, TMGCN2):
+        if model.use_Minv or not model.condensed_W:
+            raise NotImplementedError(
+                "sharded TMGCN2 supports condensed_W without Minv"
             )
         if model.interlayer_dtype is not None:
             raise NotImplementedError(
@@ -362,6 +400,7 @@ def make_sharded_edge_adapter(
             )
         n_layers = 2
         nonlin2 = model.nonlin2
+        m2, m3 = model.apply_M_twice, model.apply_M_three_times
     elif isinstance(model, TMGCN):
         if model.use_Minv or not model.condensed_W:
             raise NotImplementedError(
@@ -386,7 +425,9 @@ def make_sharded_edge_adapter(
     shards = {}
     for w in WINDOWS:
         A, X = adj[w], np.asarray(feats[w])
-        Mw = M
+        # KWGCN baselines use DISJOINT windows whose widths differ
+        # (s_train vs s_val/s_test); size each window's identity M to it.
+        Mw = np.eye(A.n_slices) if isinstance(model, KWGCN) else M
         if drop_last_slice:
             A = A.slice_window(0, A.n_slices - 1)
             X = X[:-1]
@@ -440,6 +481,8 @@ def make_sharded_edge_adapter(
         nonlin2=nonlin2,
         dtype=model.dtype,
         l2_bd=l2_bd,
+        m2=m2,
+        m3=m3,
     )
     propagate = _make_propagate(mesh, sc)
     step_forward = _make_step_forward(mesh, sc)
@@ -454,13 +497,17 @@ def make_sharded_edge_adapter(
         )
 
     def apply(variables, bundle, carry):
+        p = variables["params"]
+        if remap_params is not None:
+            p = remap_params(p)
         stacked = step_forward(
-            variables["params"],
+            p,
             bundle["cached"],
             bundle["rows"],
             bundle["cols"],
             bundle["vals"],
             bundle.get("l2op_parts", {}),
+            bundle["m_blocks"],
             bundle["edges_b"],
             bundle["mask"],
         )
