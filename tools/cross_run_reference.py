@@ -312,20 +312,206 @@ def cross_uci(epochs: int, alphas: list[float], lr: float | None = None) -> dict
     return {"dataset": "uci_2layer_M3_lp", "epochs": epochs, "rows": rows}
 
 
+# Per-dataset reference cls drivers + their location settings
+# (experiment_*_our.py:23-33; all share the same knob lines).
+CLS_DRIVERS = {
+    "bitcoin_otc": ("experiment_bitcoin_our", 'data_loc = "data/Bitcoin_" + dataset + "/"'),
+    "reddit": ("experiment_reddit_our", 'data_loc = "data/Reddit/"'),
+    "amlsim": ("experiment_amlsim_our", 'data_loc = "data/amlsim/1Kvertices-100Kedges/"'),
+}
+
+
+def cross_cls(dataset: str, epochs: int, alphas: list[float], lr: float | None = None) -> dict:
+    """Generic edge-cls cross-run: reference experiment_<ds>_our.py vs our
+    <ds>_tmgcn_cls preset on the identical (synthetic-raw) artifact.
+
+    Same pattern as cross_bitcoin_alpha; covers the VERDICT round-2 #6
+    datasets (bitcoin_otc / reddit / amlsim)."""
+    mat = ensure_artifact(dataset)
+    driver, data_loc_line = CLS_DRIVERS[dataset]
+    workdir = REPO / f"results/cross_run_{dataset}"
+    alpha_list = "[" + ", ".join(f"{a:.2f}" for a in alphas) + "]"
+    patches = [
+        ("no_epochs = 10000", f"no_epochs = {epochs}"),
+        (
+            "alpha_vec = [.75, .76, .77, .78, .79, .80, .81, .82, .83, .84, "
+            ".85, .86, .87, .88, .89, .90, .91, .92, .93, .94, .95]",
+            f"alpha_vec = {alpha_list}",
+        ),
+        (data_loc_line, f'data_loc = "{mat.parent}/"'),
+    ]
+    if dataset == "bitcoin_otc":
+        # driver default is already OTC; mat_f_name already matches ours
+        pass
+    if lr is not None:
+        patches.append(("lr = 0.01", f"lr = {lr}"))
+    ref = run_reference_driver(driver, patches, workdir, dataset)
+
+    import dataclasses
+
+    from tmgcn_tpu.configs.build import run_experiment
+    from tmgcn_tpu.configs.presets import get_preset
+
+    cfg = get_preset(f"{dataset}_tmgcn_cls")
+    if lr is not None:
+        cfg = dataclasses.replace(cfg, lr=lr)
+    ours = run_experiment(
+        cfg, data_dir=mat.parent, n_epochs=epochs,
+        alpha_vec=tuple(alphas), verbose=False,
+    )
+    rows = []
+    for a in alphas:
+        w = round(a * 100)
+        ref_arr = next((v for k, v in ref.items() if f"_w{w}_" in k), None)
+        our_arr = next(
+            (np.asarray(v) for k, v in ours["results"].items()
+             if round(float(k[1]) * 100) == w),
+            None,
+        )
+        if ref_arr is None or our_arr is None:
+            continue
+        rows.append(
+            {
+                "alpha": a,
+                "ref_final": {
+                    "train_loss": float(ref_arr[-1, 3]),
+                    "val_loss": float(ref_arr[-1, 7]),
+                    "test_loss": float(ref_arr[-1, 11]),
+                    "train_f1": float(ref_arr[-1, 2]),
+                    "val_f1": float(ref_arr[-1, 6]),
+                    "test_f1": float(ref_arr[-1, 10]),
+                },
+                "ours_final": {
+                    "train_loss": float(our_arr[-1, 3]),
+                    "val_loss": float(our_arr[-1, 7]),
+                    "test_loss": float(our_arr[-1, 11]),
+                    "train_f1": float(our_arr[-1, 2]),
+                    "val_f1": float(our_arr[-1, 6]),
+                    "test_f1": float(our_arr[-1, 10]),
+                },
+            }
+        )
+    return {"dataset": dataset, "task": "cls", "epochs": epochs, "rows": rows}
+
+
+def cross_lp_reddit(epochs: int, alphas: list[float], lr: float | None = None) -> dict:
+    """Reddit LP cross-run: experiment_reddit_our_link_prediction.py
+    (1-layer, cutoff=66) vs our reddit_tmgcn_lp preset, identical seeded
+    negatives on both sides (same pattern as cross_uci)."""
+    mat = ensure_artifact("reddit")
+    workdir = REPO / "results/cross_run_reddit_lp"
+
+    import scipy.io as sio
+    import torch as t
+
+    from tmgcn_tpu.tasks.sampling import augment_edges as our_augment
+
+    content = sio.loadmat(mat)
+    subs = np.asarray(content["A_labels_subs"], np.int64)
+    if subs.shape[0] == 3 and subs.shape[1] != 3:
+        subs = subs.T
+    e = (subs - 1).T
+    order = np.lexsort((e[2], e[1], e[0]))
+    e = e[:, order]
+    N = int(max(e[1].max(), e[2].max())) + 1
+    # experiment_reddit_our_link_prediction.py:29-31
+    aug, labels = our_augment(e, N, 19, 19, 66, seed=0)
+    aug_t = t.tensor(np.asarray(aug), dtype=t.long)
+    labels_t = t.tensor(np.asarray(labels), dtype=t.long)
+
+    alpha_list = "[" + ", ".join(f"{a:.2f}" for a in alphas) + "]"
+    patches = [
+        ("no_epochs = 1000", f"no_epochs = {epochs}"),
+        (
+            "alpha_vec = [.75, .76, .77, .78, .79, .80, .81, .82, .83, .84, "
+            ".85, .86, .87, .88, .89, .90, .91, .92, .93, .94, .95]",
+            f"alpha_vec = {alpha_list}",
+        ),
+        ('data_loc = "data/Reddit/"', f'data_loc = "{mat.parent}/"'),
+    ]
+    if lr is not None:
+        patches.append(("lr = 0.01", f"lr = {lr}"))
+
+    def inject_negatives(ehf):
+        ehf.augment_edges = lambda edges, N_, b1, b2, cut: (aug_t, labels_t)
+
+    ref = run_reference_driver(
+        "experiment_reddit_our_link_prediction", patches, workdir,
+        "reddit_lp", post_load=inject_negatives,
+    )
+
+    import dataclasses
+
+    from tmgcn_tpu.configs.build import run_experiment
+    from tmgcn_tpu.configs.presets import get_preset
+
+    cfg = get_preset("reddit_tmgcn_lp")
+    if lr is not None:
+        cfg = dataclasses.replace(cfg, lr=lr)
+    ours = run_experiment(
+        cfg, data_dir=mat.parent, n_epochs=epochs,
+        alpha_vec=tuple(alphas), verbose=False,
+    )
+    rows = []
+    for a in alphas:
+        w = round(a * 100)
+        ref_arr = next((v for k, v in ref.items() if f"_w{w}_" in k), None)
+        our_arr = next(
+            (np.asarray(v) for k, v in ours["results"].items()
+             if round(float(k[1]) * 100) == w),
+            None,
+        )
+        if ref_arr is None or our_arr is None:
+            continue
+        rows.append(
+            {
+                "alpha": a,
+                "ref_final": {
+                    "train_map": float(ref_arr[-1, 0]),
+                    "train_mrr": float(ref_arr[-1, 1]),
+                    "train_loss": float(ref_arr[-1, 2]),
+                    "val_map": float(ref_arr[-1, 3]),
+                    "val_mrr": float(ref_arr[-1, 4]),
+                    "val_loss": float(ref_arr[-1, 5]),
+                    "test_map": float(ref_arr[-1, 6]),
+                    "test_mrr": float(ref_arr[-1, 7]),
+                    "test_loss": float(ref_arr[-1, 8]),
+                },
+                "ours_final": {
+                    "train_map": float(our_arr[-1, 0]),
+                    "train_mrr": float(our_arr[-1, 1]),
+                    "train_loss": float(our_arr[-1, 2]),
+                    "val_map": float(our_arr[-1, 3]),
+                    "val_mrr": float(our_arr[-1, 4]),
+                    "val_loss": float(our_arr[-1, 5]),
+                    "test_map": float(our_arr[-1, 6]),
+                    "test_mrr": float(our_arr[-1, 7]),
+                    "test_loss": float(our_arr[-1, 8]),
+                },
+            }
+        )
+    return {"dataset": "reddit", "task": "lp", "epochs": epochs, "rows": rows}
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("which", choices=["bitcoin_alpha", "uci"])
+    ap.add_argument("which", choices=[
+        "bitcoin_alpha", "uci", "bitcoin_otc", "reddit", "amlsim", "reddit_lp",
+    ])
     ap.add_argument("--epochs", type=int, default=300)
     ap.add_argument("--alphas", default="0.90")
     ap.add_argument("--lr", type=float, default=None)
     args = ap.parse_args()
     alphas = [float(a) for a in args.alphas.split(",")]
 
-    out = (
-        cross_bitcoin_alpha(args.epochs, alphas)
-        if args.which == "bitcoin_alpha"
-        else cross_uci(args.epochs, alphas, lr=args.lr)
-    )
+    if args.which == "bitcoin_alpha":
+        out = cross_bitcoin_alpha(args.epochs, alphas)
+    elif args.which == "uci":
+        out = cross_uci(args.epochs, alphas, lr=args.lr)
+    elif args.which == "reddit_lp":
+        out = cross_lp_reddit(args.epochs, alphas, lr=args.lr)
+    else:
+        out = cross_cls(args.which, args.epochs, alphas, lr=args.lr)
     path = REPO / f"results/cross_run_{args.which}.json"
     path.write_text(json.dumps(out, indent=1))
     for r in out["rows"]:
