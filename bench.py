@@ -339,6 +339,11 @@ def bench_ours2_full(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED2):
         A_op = make_operator(
             A, mode="bf16" if spmm_impl.endswith("bf16") else "exact"
         )
+    elif spmm_impl in ("auto", "auto_bf16"):
+        from tmgcn_tpu.ops.spmm import make_auto_operator
+
+        A_op = make_auto_operator(A, bf16=spmm_impl.endswith("bf16"))
+        print(f"  auto selected: {type(A_op).__name__}", flush=True)
     else:
         A_op = A
     A_op = jax.device_put(A_op)

@@ -196,3 +196,45 @@ def test_restricted_builder_blockdense_matches_rowsplit():
     for b in bundles.values():
         assert np.asarray(b["l2_src"]).shape == (E,)
         assert np.asarray(b["l2_trg"]).shape == (E,)
+
+
+def test_auto_operator_selection():
+    """make_auto_operator: unpacked off-TPU; auto impl strings accepted
+    end-to-end by the restricted builder (-> rowsplit on CPU)."""
+    import jax
+
+    from tmgcn_tpu.core.sparse import TemporalCOO
+    from tmgcn_tpu.ops.spmm import make_auto_operator, spmm
+    from tmgcn_tpu.tasks.adapters import OPERATOR_IMPLS, _build_restricted_layer2
+
+    assert "auto" in OPERATOR_IMPLS and "auto_bf16" in OPERATOR_IMPLS
+
+    rng = np.random.default_rng(11)
+    T, N, per, E = 3, 100, 200, 50
+    rows = np.sort(rng.integers(0, N, (T, per)), axis=1).astype(np.int32)
+    cols = rng.integers(0, N, (T, per)).astype(np.int32)
+    vals = rng.standard_normal((T, per)).astype(np.float32)
+    A = TemporalCOO(rows=rows, cols=cols, vals=vals,
+                    nnz=np.full(T, per, np.int32), n_nodes=N)
+    assert jax.default_backend() != "tpu"  # conftest pins CPU
+    op = make_auto_operator(A)
+    assert op is A  # CPU: native XLA gather/segment path, no prepack
+    X = jnp.asarray(rng.standard_normal((T, N, 4)).astype(np.float32))
+    Z_jnp = np.asarray(spmm(A, X, impl="jnp"))
+
+    edges = np.stack([
+        rng.integers(0, T, E), rng.integers(0, N, E), rng.integers(0, N, E)
+    ]).astype(np.int64)
+    cached = jnp.asarray(rng.standard_normal((T, N, 3)).astype(np.float32))
+    outs = {}
+    for operator in ("rowsplit", "auto", "auto_bf16"):
+        bundle = {"cached": cached}
+        _build_restricted_layer2(bundle, A, edges, False, operator=operator)
+        n_used = bundle["l2_Hin"].shape[0]
+        Y = jnp.asarray(
+            np.random.default_rng(0).standard_normal((n_used, 3)).astype(np.float32)
+        )
+        outs[operator] = np.asarray(bundle["l2op"](Y))
+    np.testing.assert_allclose(outs["auto"], outs["rowsplit"], rtol=1e-6)
+    np.testing.assert_allclose(outs["auto_bf16"], outs["rowsplit"], rtol=1e-6)
+    del Z_jnp

@@ -110,6 +110,45 @@ def spmm(A: TemporalCOO, X: jax.Array, impl: str = "jnp") -> jax.Array:
     return out.reshape(T, N, F)
 
 
+def make_auto_operator(A: TemporalCOO, bf16: bool = False):
+    """Build-time operator auto-selection for the FULL-ROW path.
+
+    Picks the cheapest prepacked operator for ``A`` by the byte model:
+    on TPU, the block-dense operator whenever its dense block tensor
+    moves fewer bytes per apply than the Pallas kernel's tile-gather
+    floor (measured on chess: appearance-ordered ids are already the
+    best ordering — RCM / degree / activity clusterings all RAISE the
+    block count, see tools/blockdense_ordering.py), otherwise the
+    windowed Pallas kernel; off-TPU the input is returned unpacked (the
+    gather/segment-sum path is native XLA on CPU).
+
+    ``bf16=True`` selects the production-fast precision class (bf16
+    block tensor / bf16 gather traffic, f32 accumulation); the default
+    keeps exact f32 semantics. Replaces the reference's per-epoch
+    ``for t: torch.sparse.mm`` loop at its own full-row computation
+    shape (embedding_help_functions.py:301-312).
+    """
+    if jax.default_backend() != "tpu":
+        return A
+    from tmgcn_tpu.ops.spmm_blockdense import estimate
+    from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream
+
+    g_rows, g_cols, _ = flatten_stream(A)
+    if estimate(g_rows, g_cols)["ratio"] < 0.5:
+        from tmgcn_tpu.ops.spmm_blockdense import make_operator
+
+        try:
+            return make_operator(A, mode="bf16" if bf16 else "exact")
+        except ValueError:
+            pass  # over the block byte budget -> Pallas below
+    from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+    return make_operator(
+        A, chunk=512, window=256,
+        gather_dtype="bfloat16" if bf16 else None, sort_cols=bf16,
+    )
+
+
 def spmm_dense_reference(A_dense: jax.Array, X: jax.Array) -> jax.Array:
     """Dense oracle for tests: einsum over materialized (T, N, N)."""
     return jnp.einsum("tij,tjf->tif", A_dense, X)

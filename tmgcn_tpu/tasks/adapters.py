@@ -116,7 +116,7 @@ def _build_restricted_layer2(
     rows_c = idx[member]
     cols_c = np.searchsorted(used, g_cols[member])
     vals_c = g_vals[member]
-    if operator == "auto":
+    if operator in ("auto", "auto_bf16"):
         # On TPU, prefer the block-dense operator: the restricted
         # stream is block-local (node ids ordered by appearance, banded
         # M), and dense MXU tiles beat the Pallas kernel's random-row
@@ -124,12 +124,14 @@ def _build_restricted_layer2(
         # tile-gather floor (spmm_blockdense module docstring). Fall
         # back to the windowed Pallas kernel for block-hostile
         # patterns. Off-TPU the rowsplit gather/segment operator keeps
-        # the CPU test path in native XLA.
+        # the CPU test path in native XLA. "auto_bf16" selects the
+        # production-fast precision class of whichever operator wins.
+        bf = "_bf16" if operator.endswith("bf16") else ""
         if jax.default_backend() == "tpu":
             from tmgcn_tpu.ops.spmm_blockdense import estimate
 
             est = estimate(rows_c, cols_c)
-            operator = "blockdense" if est["ratio"] < 0.5 else "pallas"
+            operator = ("blockdense" if est["ratio"] < 0.5 else "pallas") + bf
         else:
             operator = "rowsplit"
     op = None
@@ -200,7 +202,8 @@ class ModelAdapter:
 
 
 OPERATOR_IMPLS = (
-    "pallas", "pallas_bf16", "rowsplit", "blockdense", "blockdense_bf16"
+    "pallas", "pallas_bf16", "rowsplit", "blockdense", "blockdense_bf16",
+    "auto", "auto_bf16",
 )
 
 
@@ -242,6 +245,14 @@ def _prepare_bundles(
             A = make_operator(
                 A, mode="bf16" if spmm_operator.endswith("bf16") else "exact"
             )
+        elif spmm_operator in ("auto", "auto_bf16"):
+            # Byte-model auto-selection for the full-row path
+            # (ops/spmm.make_auto_operator): block-dense when its block
+            # tensor beats the tile-gather floor, else windowed Pallas;
+            # unpacked off-TPU.
+            from tmgcn_tpu.ops.spmm import make_auto_operator
+
+            A = make_auto_operator(A, bf16=spmm_operator.endswith("bf16"))
         elif spmm_operator == "rowsplit":
             from tmgcn_tpu.ops.spmm_rowsplit import make_operator
 

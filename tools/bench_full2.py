@@ -32,7 +32,7 @@ def main() -> int:
     ap.add_argument("--n", type=int, default=8, help="timed epochs per impl")
     ap.add_argument(
         "--impls",
-        default="jnp,rowsplit,pallas,pallas_bf16,blockdense,blockdense_bf16",
+        default="jnp,rowsplit,pallas,pallas_bf16,blockdense,blockdense_bf16,auto,auto_bf16",
     )
     ap.add_argument("--no-torch", action="store_true")
     args = ap.parse_args()
