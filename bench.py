@@ -27,6 +27,7 @@ cross-round comparability, with the 2-layer and roofline numbers under
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 import warnings
@@ -168,7 +169,7 @@ def bench_torch_reference_lp(data, splits) -> float:
         loss.backward()
         opt.step()
 
-    return _torch_best_of_rounds(epoch)
+    return _torch_best_of_rounds(epoch, name="torch_lp")
 
 
 def bench_ours(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED) -> tuple[float, int]:
@@ -288,17 +289,55 @@ def _timed_epochs(run_chunk, fetch, n_timed, rounds=3):
     return best
 
 
-def _torch_best_of_rounds(epoch_fn, rounds=3, iters=N_TORCH):
-    """Best of 3 rounds: the host CPU is shared; a loaded machine would
-    otherwise understate the reference's throughput."""
+# Per-baseline timing dispersion, keyed by the caller's bench name —
+# main() copies this into the JSON artifact so torch numbers are
+# auditable (VERDICT round-2 weak #2: an unexplained 8.5x swing between
+# two torch runs of the same config traced to host load; per-round
+# medians + load average make any rerun reconcilable).
+TORCH_TIMING: dict[str, dict] = {}
+
+
+def _host_state() -> dict:
+    import torch as t
+
+    return {
+        "loadavg_1m": round(os.getloadavg()[0], 2),
+        "cpu_count": os.cpu_count(),
+        "torch_threads": t.get_num_threads(),
+    }
+
+
+def _torch_best_of_rounds(epoch_fn, rounds=5, iters=N_TORCH, name=None):
+    """Best AND median of per-round means; the host CPU is shared, so
+    the best round approximates the unloaded machine (what the
+    reference would get on dedicated hardware) while median/max expose
+    the dispersion that would otherwise silently move headline ratios.
+
+    Torch threads are pinned to the full core count before timing —
+    the reference's own drivers run torch at its default (all-core)
+    parallelism, so that is the fair baseline configuration.
+    """
+    import torch as t
+
+    t.set_num_threads(os.cpu_count())
     epoch_fn()  # warmup
-    best = float("inf")
+    per_round = []
     for _ in range(rounds):
         t0 = time.perf_counter()
         for _ in range(iters):
             epoch_fn()
-        best = min(best, (time.perf_counter() - t0) / iters)
-    return best
+        per_round.append((time.perf_counter() - t0) / iters)
+    stats = {
+        "best_ms": round(min(per_round) * 1e3, 3),
+        "median_ms": round(float(np.median(per_round)) * 1e3, 3),
+        "max_ms": round(max(per_round) * 1e3, 3),
+        "rounds": rounds,
+        "iters_per_round": iters,
+        **_host_state(),
+    }
+    if name is not None:
+        TORCH_TIMING[name] = stats
+    return min(per_round)
 
 
 def bench_ours2_full(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED2):
@@ -423,7 +462,7 @@ def bench_torch_reference(data, splits) -> float:
                 t.sum((guess != 0) & (target == 0)),
             )
 
-    return _torch_best_of_rounds(epoch)
+    return _torch_best_of_rounds(epoch, name="torch_1layer")
 
 
 def bench_torch_reference2(data, splits) -> float:
@@ -462,7 +501,7 @@ def bench_torch_reference2(data, splits) -> float:
                 t.sum((guess != 0) & (target == 0)),
             )
 
-    return _torch_best_of_rounds(epoch, iters=max(3, N_TORCH // 2))
+    return _torch_best_of_rounds(epoch, iters=max(3, N_TORCH // 2), name="torch_2layer")
 
 
 def bench_spmm_isolated(data, impl: str) -> dict:
@@ -611,6 +650,10 @@ def main() -> int:
         "spmm_layer2_shape": spmm_stats,
         "one_layer_ms": round(ours_s * 1e3, 3),
         "one_layer_torch_ms": round(ref_s * 1e3, 2),
+        # Per-baseline dispersion + host state: best/median/max of
+        # 5 timing rounds and the load average they ran under, so any
+        # torch headline is reproducible and a rerun reconcilable.
+        "torch_timing": TORCH_TIMING,
     }
     print(
         json.dumps(
