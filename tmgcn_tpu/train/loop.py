@@ -85,7 +85,15 @@ def _make_steps(
 
     def sgd_step(params, opt_state, bundle, tgt):
         def loss_fn(p):
-            out, carry = adapter.apply({"params": p, "buffers": buffers}, bundle, ())
+            # HIGHEST matmul precision: the TPU MXU's default bf16 input
+            # passes inject enough noise into these small, ill-conditioned
+            # full-batch problems (raw degree features, SGD+momentum) that
+            # training orbits chaotically instead of converging to the
+            # reference's fixed point (observed: reddit LP val MAP
+            # oscillating 0.04-0.30 on TPU vs clean convergence on CPU).
+            # The model matmuls are tiny, so the f32 passes cost nothing.
+            with jax.default_matmul_precision("highest"):
+                out, carry = adapter.apply({"params": p, "buffers": buffers}, bundle, ())
             if logit_transform is not None:
                 out = logit_transform(out)
             return weighted_cross_entropy(out, tgt, cw), (out, carry)
@@ -116,7 +124,8 @@ def _make_steps(
 
     @jax.jit
     def eval_forward(params, bundle, carry):
-        return adapter.apply({"params": params, "buffers": buffers}, bundle, carry)
+        with jax.default_matmul_precision("highest"):
+            return adapter.apply({"params": params, "buffers": buffers}, bundle, carry)
 
     return single_step, chunk_step, eval_forward
 
@@ -353,7 +362,9 @@ def run_regression(
             params, opt_state = carry
 
             def loss_fn(p):
-                out, _ = adapter.apply({"params": p, "buffers": buffers}, bundle, ())
+                # HIGHEST precision: see the matching note in _make_steps.
+                with jax.default_matmul_precision("highest"):
+                    out, _ = adapter.apply({"params": p, "buffers": buffers}, bundle, ())
                 return summed_per_slice_mse(out, yt)
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
@@ -367,7 +378,8 @@ def run_regression(
 
     @jax.jit
     def eval_forward(params, bundle):
-        out, _ = adapter.apply({"params": params, "buffers": buffers}, bundle, ())
+        with jax.default_matmul_precision("highest"):
+            out, _ = adapter.apply({"params": params, "buffers": buffers}, bundle, ())
         return out
 
     losses = np.zeros(cfg.n_epochs)
