@@ -296,6 +296,20 @@ def _timed_epochs(run_chunk, fetch, n_timed, rounds=3):
 # medians + load average make any rerun reconcilable).
 TORCH_TIMING: dict[str, dict] = {}
 
+# Contention-proof baselines (VERDICT round-3 directive #3): torch
+# timings on this shared 4-CPU host swung 8.3 -> 56 -> 277 ms across
+# rounds purely with background load. Every measurement now (a) waits
+# for the load average to drop below a threshold (bounded wait), (b) is
+# serialized behind a file lock so concurrent bench runs never time
+# against each other, and (c) feeds a persistent per-name run history
+# (results/torch_baseline.json). The CANONICAL baseline is the best
+# clean-run time in that history; a contended measurement falls back to
+# it instead of publishing garbage ratios.
+REPO_DIR = os.path.dirname(os.path.abspath(__file__))
+CANONICAL_PATH = os.path.join(REPO_DIR, "results", "torch_baseline.json")
+QUIET_LOAD = float(os.environ.get("TMGCN_BENCH_MAX_LOAD", "1.5"))
+QUIET_WAIT_S = float(os.environ.get("TMGCN_BENCH_QUIET_WAIT_S", "600"))
+
 
 def _host_state() -> dict:
     import torch as t
@@ -307,6 +321,47 @@ def _host_state() -> dict:
     }
 
 
+def _wait_for_quiet() -> tuple[bool, float]:
+    """Wait (bounded) for loadavg_1m <= QUIET_LOAD; (clean?, waited_s)."""
+    t0 = time.perf_counter()
+    while True:
+        load = os.getloadavg()[0]
+        if load <= QUIET_LOAD:
+            return True, time.perf_counter() - t0
+        if time.perf_counter() - t0 >= QUIET_WAIT_S:
+            return False, time.perf_counter() - t0
+        time.sleep(15)
+
+
+def _load_canonical() -> dict:
+    try:
+        with open(CANONICAL_PATH) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _record_run(name: str, stats: dict, clean: bool) -> float | None:
+    """Append this run to the history; return the canonical best_ms.
+
+    Canonical = min best_ms over runs whose start AND end loadavg were
+    below the threshold (the 1-minute average lags, so both ends must
+    be quiet for the window to count as clean).
+    """
+    store = _load_canonical()
+    entry = store.setdefault(name, {"runs": []})
+    entry["runs"].append({**stats, "clean": bool(clean)})
+    entry["runs"] = entry["runs"][-20:]  # bounded history
+    clean_runs = [r["best_ms"] for r in entry["runs"] if r.get("clean")]
+    entry["canonical_best_ms"] = min(clean_runs) if clean_runs else None
+    os.makedirs(os.path.dirname(CANONICAL_PATH), exist_ok=True)
+    tmp = CANONICAL_PATH + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(store, f, indent=1)
+    os.replace(tmp, CANONICAL_PATH)
+    return entry["canonical_best_ms"]
+
+
 def _torch_best_of_rounds(epoch_fn, rounds=5, iters=N_TORCH, name=None):
     """Best AND median of per-round means; the host CPU is shared, so
     the best round approximates the unloaded machine (what the
@@ -316,28 +371,59 @@ def _torch_best_of_rounds(epoch_fn, rounds=5, iters=N_TORCH, name=None):
     Torch threads are pinned to the full core count before timing —
     the reference's own drivers run torch at its default (all-core)
     parallelism, so that is the fair baseline configuration.
+
+    The returned seconds/epoch is the CANONICAL number: measured best
+    when this window was clean and beats history, else the best clean
+    run on record (provenance recorded in TORCH_TIMING[name]).
     """
+    import fcntl
+
     import torch as t
 
-    t.set_num_threads(os.cpu_count())
-    epoch_fn()  # warmup
-    per_round = []
-    for _ in range(rounds):
-        t0 = time.perf_counter()
-        for _ in range(iters):
-            epoch_fn()
-        per_round.append((time.perf_counter() - t0) / iters)
-    stats = {
-        "best_ms": round(min(per_round) * 1e3, 3),
-        "median_ms": round(float(np.median(per_round)) * 1e3, 3),
-        "max_ms": round(max(per_round) * 1e3, 3),
-        "rounds": rounds,
-        "iters_per_round": iters,
-        **_host_state(),
-    }
-    if name is not None:
-        TORCH_TIMING[name] = stats
-    return min(per_round)
+    os.makedirs(os.path.join(REPO_DIR, "results"), exist_ok=True)
+    lock_f = open(os.path.join(REPO_DIR, "results", ".bench.lock"), "w")
+    fcntl.flock(lock_f, fcntl.LOCK_EX)  # serialize concurrent bench runs
+    try:
+        quiet_start, waited = _wait_for_quiet()
+        t.set_num_threads(os.cpu_count())
+        epoch_fn()  # warmup
+        per_round = []
+        for _ in range(rounds):
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                epoch_fn()
+            per_round.append((time.perf_counter() - t0) / iters)
+        # Clean = the host was quiet when the window OPENED and the
+        # rounds were tight. (No end-of-run loadavg check: the bench
+        # itself drives loadavg toward the core count.) Contended runs
+        # show median/best of 1.6-1.9 on this host; clean ones 1.0-1.2.
+        tight = float(np.median(per_round)) / min(per_round) <= 1.3
+        clean = quiet_start and tight
+        stats = {
+            "best_ms": round(min(per_round) * 1e3, 3),
+            "median_ms": round(float(np.median(per_round)) * 1e3, 3),
+            "max_ms": round(max(per_round) * 1e3, 3),
+            "rounds": rounds,
+            "iters_per_round": iters,
+            "quiet_wait_s": round(waited, 1),
+            **_host_state(),
+        }
+        canonical_ms = None
+        if name is not None:
+            canonical_ms = _record_run(name, stats, clean)
+        measured = min(per_round)
+        if canonical_ms is not None and canonical_ms * 1e-3 < measured:
+            stats["used_canonical_ms"] = canonical_ms
+            stats["contended"] = not clean
+            result = canonical_ms * 1e-3
+        else:
+            result = measured
+        if name is not None:
+            TORCH_TIMING[name] = stats
+        return result
+    finally:
+        fcntl.flock(lock_f, fcntl.LOCK_UN)
+        lock_f.close()
 
 
 def bench_ours2_full(cfg, data, splits, spmm_impl="jnp", n_timed=N_TIMED2):
@@ -579,7 +665,27 @@ def _device_alive(timeout_s: float = 180.0) -> bool:
     return bool(ok and ok[0])
 
 
+def torch_only() -> int:
+    """Measure/refresh ONLY the torch-CPU baselines (no device needed).
+
+    Feeds the canonical-baseline store; run this on a quiet host to
+    establish the numbers the headline ratios divide by.
+    """
+    cfg, data, splits = prepare()
+    print(f"# 1-layer torch {bench_torch_reference(data, splits) * 1e3:.2f} ms",
+          file=sys.stderr)
+    print(f"# 2-layer torch {bench_torch_reference2(data, splits) * 1e3:.2f} ms",
+          file=sys.stderr)
+    cfg_lp, data_lp, splits_lp = prepare_lp()
+    print(f"# LP torch {bench_torch_reference_lp(data_lp, splits_lp) * 1e3:.2f} ms",
+          file=sys.stderr)
+    print(json.dumps({"torch_timing": TORCH_TIMING}))
+    return 0
+
+
 def main() -> int:
+    if "--torch-only" in sys.argv:
+        return torch_only()
     if not _device_alive():
         print(
             json.dumps(

@@ -223,6 +223,12 @@ def exec_driver(
         src = src.replace(old, new)
     src += append
     workdir.mkdir(parents=True, exist_ok=True)
+    # A reused workdir may hold results_* pickles from an earlier run
+    # with different settings; the harvest below globs them, so a
+    # partial crash would silently report stale numbers. Clean first.
+    for stale in workdir.glob("results_*"):
+        if stale.is_file():
+            stale.unlink()
     cwd = os.getcwd()
     os.chdir(workdir)
     g = {"__name__": "__main__"}
@@ -327,7 +333,7 @@ def run_ref_cls(family: str, epochs: int) -> dict:
     return write_result("ref", family, "cls", payload) and payload
 
 
-def run_ref_lp(family: str, epochs: int) -> dict:
+def run_ref_lp(family: str, epochs: int, alpha: float = LP_ALPHA) -> dict:
     mat = ensure_artifact()
     aug, labels = shared_negatives(mat)
 
@@ -348,7 +354,7 @@ def run_ref_lp(family: str, epochs: int) -> dict:
         (
             "alpha_vec = [.75, .76, .77, .78, .79, .80, .81, .82, .83, .84, "
             ".85, .86, .87, .88, .89, .90, .91, .92, .93, .94, .95]",
-            f"alpha_vec = [{LP_ALPHA}]",
+            f"alpha_vec = [{alpha}]",
         ),
         ('data_loc = "data/" + dataset + "/"', f'data_loc = "{mat.parent}/"'),
     ]
@@ -365,7 +371,9 @@ def run_ref_lp(family: str, epochs: int) -> dict:
         if name == "embedding_help_functions":
             mod.augment_edges = lambda edges, N_, b1, b2, cut: (aug_t, labels_t)
 
-    workdir = OUT_DIR / f"ref_{family}_lp_work"
+    w = round(alpha * 100)
+    tag = "lp" if w == round(LP_ALPHA * 100) else f"lp_a{w}"
+    workdir = OUT_DIR / f"ref_{family}_{tag}_work"
     t0 = time.time()
     exec_driver(driver, patches, F32_TRANSFORMS, workdir, preload, post_load=inject)
     wall = time.time() - t0
@@ -376,12 +384,12 @@ def run_ref_lp(family: str, epochs: int) -> dict:
     final = np.asarray(arr)[-1]
     payload = {
         "side": "reference", "family": family, "task": "lp",
-        "epochs": epochs, "wall_s": wall, "alpha": LP_ALPHA,
+        "epochs": epochs, "wall_s": wall, "alpha": alpha,
         "train": {"map": float(final[0]), "mrr": float(final[1]), "loss": float(final[2])},
         "val": {"map": float(final[3]), "mrr": float(final[4]), "loss": float(final[5])},
         "test": {"map": float(final[6]), "mrr": float(final[7]), "loss": float(final[8])},
     }
-    return write_result("ref", family, "lp", payload) and payload
+    return write_result("ref", family, tag, payload) and payload
 
 
 # ---------------------------------------------------------------------------
@@ -403,7 +411,7 @@ OUR_LP_PRESETS = {
 }
 
 
-def run_ours_cls(family: str, epochs: int) -> dict:
+def run_ours_cls(family: str, epochs: int, seed: int | None = None) -> dict:
     import jax
 
     from tmgcn_tpu.configs.build import build_data, build_model
@@ -427,37 +435,44 @@ def run_ours_cls(family: str, epochs: int) -> dict:
     cw = np.array([1 / 3] * 3)
     tcfg = TrainConfig(n_epochs=epochs, lr=cfg.lr, momentum=cfg.momentum,
                        eval_every=cfg.eval_every, verbose=False)
+    init_seed = cfg.seed if seed is None else seed
     t0 = time.time()
     results, variables = run_edge_classification(
-        adapter, splits, cw, tcfg, key=jax.random.PRNGKey(cfg.seed)
+        adapter, splits, cw, tcfg, key=jax.random.PRNGKey(init_seed)
     )
     wall = time.time() - t0
 
     # Final re-eval (same train -> val -> test carry threading the loop
     # and the reference use), scored by the same metric code as ref.
-    out_tr, carry = adapter.apply(
-        {"params": variables["params"], "buffers": variables["buffers"]},
-        adapter.bundles["train"], (),
-    )
-    windows = {"train": cls_window_metrics(out_tr, splits["train"].target, None, cw)}
-    for w in ("val", "test"):
-        out, carry = adapter.apply(
+    # Same HIGHEST matmul precision as the training loop's eval path.
+    with jax.default_matmul_precision("highest"):
+        out_tr, carry = adapter.apply(
             {"params": variables["params"], "buffers": variables["buffers"]},
-            adapter.bundles[w], carry,
+            adapter.bundles["train"], (),
         )
-        windows[w] = cls_window_metrics(
-            out, splits[w].target, splits[w].eval_mask, cw
-        )
+        windows = {"train": cls_window_metrics(out_tr, splits["train"].target, None, cw)}
+        for w in ("val", "test"):
+            out, carry = adapter.apply(
+                {"params": variables["params"], "buffers": variables["buffers"]},
+                adapter.bundles[w], carry,
+            )
+            windows[w] = cls_window_metrics(
+                out, splits[w].target, splits[w].eval_mask, cw
+            )
     payload = {
         "side": "ours", "family": family, "task": "cls",
         "preset": OUR_CLS_PRESETS[family], "epochs": epochs, "wall_s": wall,
+        "seed": init_seed,
         **windows,
         "final_train_loss_loop": float(results[-1, 3]),
     }
-    return write_result("ours", family, "cls", payload) and payload
+    tag = "cls" if seed is None else f"cls_s{seed}"
+    return write_result("ours", family, tag, payload) and payload
 
 
-def run_ours_lp(family: str, epochs: int) -> dict:
+def run_ours_lp(
+    family: str, epochs: int, alpha: float = LP_ALPHA, seed: int | None = None
+) -> dict:
     import jax
 
     from tmgcn_tpu.configs.build import build_data, build_model
@@ -479,12 +494,13 @@ def run_ours_lp(family: str, epochs: int) -> dict:
         M=data.M if cfg.method == "tmgcn" else None,
         drop_last_slice=True,
     )
-    cw = np.array([LP_ALPHA, 1 - LP_ALPHA])
+    cw = np.array([alpha, 1 - alpha])
     tcfg = TrainConfig(n_epochs=epochs, lr=cfg.lr, momentum=cfg.momentum,
                        eval_every=cfg.eval_every, verbose=False)
+    init_seed = cfg.seed if seed is None else seed
     t0 = time.time()
     results, _ = run_link_prediction(
-        adapter, splits, cw, tcfg, key=jax.random.PRNGKey(cfg.seed),
+        adapter, splits, cw, tcfg, key=jax.random.PRNGKey(init_seed),
         loss_type=cfg.loss_type, eval_type=cfg.eval_type,
     )
     wall = time.time() - t0
@@ -492,12 +508,16 @@ def run_ours_lp(family: str, epochs: int) -> dict:
     payload = {
         "side": "ours", "family": family, "task": "lp",
         "preset": OUR_LP_PRESETS[family], "epochs": epochs, "wall_s": wall,
-        "alpha": LP_ALPHA,
+        "alpha": alpha, "seed": init_seed,
         "train": {"map": float(final[0]), "mrr": float(final[1]), "loss": float(final[2])},
         "val": {"map": float(final[3]), "mrr": float(final[4]), "loss": float(final[5])},
         "test": {"map": float(final[6]), "mrr": float(final[7]), "loss": float(final[8])},
     }
-    return write_result("ours", family, "lp", payload) and payload
+    w = round(alpha * 100)
+    tag = "lp" if w == round(LP_ALPHA * 100) else f"lp_a{w}"
+    if seed is not None:
+        tag += f"_s{seed}"
+    return write_result("ours", family, tag, payload) and payload
 
 
 # ---------------------------------------------------------------------------
@@ -555,19 +575,27 @@ def main() -> int:
     ap.add_argument("--family")
     ap.add_argument("--task", choices=["cls", "lp"])
     ap.add_argument("--epochs", type=int, default=None)
+    ap.add_argument("--alpha", type=float, default=None,
+                    help="LP class-weight alpha (default 0.90); sweep support")
+    ap.add_argument("--seed", type=int, default=None,
+                    help="ours-side init seed override (repeat runs)")
     args = ap.parse_args()
 
     if args.side == "table":
         print_table()
         return 0
     epochs = args.epochs or (CLS_EPOCHS if args.task == "cls" else LP_EPOCHS)
-    fn = {
-        ("ref", "cls"): run_ref_cls,
-        ("ref", "lp"): run_ref_lp,
-        ("ours", "cls"): run_ours_cls,
-        ("ours", "lp"): run_ours_lp,
-    }[(args.side, args.task)]
-    fn(args.family, epochs)
+    if args.task == "cls":
+        if args.side == "ref":
+            run_ref_cls(args.family, epochs)
+        else:
+            run_ours_cls(args.family, epochs, seed=args.seed)
+    else:
+        alpha = LP_ALPHA if args.alpha is None else args.alpha
+        if args.side == "ref":
+            run_ref_lp(args.family, epochs, alpha=alpha)
+        else:
+            run_ours_lp(args.family, epochs, alpha=alpha, seed=args.seed)
     return 0
 
 
