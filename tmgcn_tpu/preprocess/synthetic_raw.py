@@ -121,10 +121,25 @@ def generate(name: str, data_dir: str | Path, seed: int = 0) -> Path:
         path.write_text("\n".join(lines) + "\n")
     elif name == "amlsim":
         # AMLSim transactions.csv: header; cols (1,2,7,5) = sender,
-        # receiver, fraud flag, step  (full_read_data.py:49-57). ~2%
-        # fraud, concentrated on a small launderer clique.
+        # receiver, fraud flag, step  (full_read_data.py:49-57).
+        #
+        # Label encoding: the reference's driver computes
+        # target = (sign(label) != -1) (experiment_amlsim_our.py:77-78),
+        # so a real {0,1} is_sar column makes EVERY edge class 1 and the
+        # task vacuous (both frameworks drive loss to ~0 with NaN F1 —
+        # round-3 cross-run). The synthetic stand-in therefore writes
+        # fraud as -1 and normal as +1, giving the driver's own
+        # convention a genuine ~3% minority class.
+        #
+        # Labels are topology-correlated but NOISY (controlled Bayes
+        # error, VERDICT round-3 #5): a 3% launderer set frauds with
+        # p=0.7 inside the clique, p=0.15 on half-clique edges, p=0.01
+        # in the background — learnable, not trivially separable.
         launderer = rng.random(s.n_nodes) < 0.03
-        fraud = (launderer[src] & launderer[dst]) | (rng.random(n) < 0.005)
+        n_laund = launderer[src].astype(int) + launderer[dst].astype(int)
+        p_fraud = np.choose(n_laund, [0.01, 0.15, 0.7])
+        fraud = rng.random(n) < p_fraud
+        flag = np.where(fraud, -1, 1)
         step = rng.integers(0, s.n_slices, n)
         step[: s.n_slices] = np.arange(s.n_slices)
         amount = np.round(rng.lognormal(4.0, 1.0, n), 2)
@@ -134,7 +149,7 @@ def generate(name: str, data_dir: str | Path, seed: int = 0) -> Path:
         )
         lines = [header] + [
             f"{i},{a + 1},{b + 1},0,{amt},{t},-1,{int(f)}"
-            for i, (a, b, amt, t, f) in enumerate(zip(src, dst, amount, step, fraud))
+            for i, (a, b, amt, t, f) in enumerate(zip(src, dst, amount, step, flag))
         ]
         path.write_text("\n".join(lines) + "\n")
     elif name == "uci":

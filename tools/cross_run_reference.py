@@ -117,6 +117,12 @@ def run_reference_driver(
             continue  # dtype transforms are per-driver best-effort
         src = src.replace(old, new)
     workdir.mkdir(parents=True, exist_ok=True)
+    # Stale results_OUR_* pickles from an earlier run (different epochs/
+    # lr) in a reused workdir would silently satisfy the harvest glob if
+    # the patched driver crashed partway; remove them first.
+    for stale in workdir.glob("results_OUR_*"):
+        if stale.is_file():
+            stale.unlink()
     cwd = os.getcwd()
     os.chdir(workdir)
     try:
@@ -512,8 +518,19 @@ def main() -> int:
         out = cross_lp_reddit(args.epochs, alphas, lr=args.lr)
     else:
         out = cross_cls(args.which, args.epochs, alphas, lr=args.lr)
+    def _sanitize(o):
+        """NaN/inf -> None: json.dumps would emit bare NaN tokens,
+        which is not valid strict JSON."""
+        if isinstance(o, float) and not np.isfinite(o):
+            return None
+        if isinstance(o, dict):
+            return {k: _sanitize(v) for k, v in o.items()}
+        if isinstance(o, list):
+            return [_sanitize(v) for v in o]
+        return o
+
     path = REPO / f"results/cross_run_{args.which}.json"
-    path.write_text(json.dumps(out, indent=1))
+    path.write_text(json.dumps(_sanitize(out), indent=1))
     for r in out["rows"]:
         print(f"alpha={r['alpha']}")
         for k in r["ref_final"]:

@@ -308,10 +308,11 @@ def _ref_cls_spec(family: str, mat: Path, epochs: int):
     raise ValueError(f"unknown cls family {family!r}")
 
 
-def run_ref_cls(family: str, epochs: int) -> dict:
+def run_ref_cls(family: str, epochs: int, rep: int | None = None) -> dict:
     mat = ensure_artifact()
     driver, patches, soft, preload, kind = _ref_cls_spec(family, mat, epochs)
-    workdir = OUT_DIR / f"ref_{family}_cls_work"
+    tag = "cls" if rep is None else f"cls_r{rep}"
+    workdir = OUT_DIR / f"ref_{family}_{tag}_work"
     t0 = time.time()
     exec_driver(driver, patches, soft, workdir, preload,
                 append=CLS_APPEND[kind] + CLS_DUMP)
@@ -330,7 +331,7 @@ def run_ref_cls(family: str, epochs: int) -> dict:
         ),
         "final_train_loss_driver": float(d["ep_acc_loss"][-1, 1]),
     }
-    return write_result("ref", family, "cls", payload) and payload
+    return write_result("ref", family, tag, payload) and payload
 
 
 def run_ref_lp(family: str, epochs: int, alpha: float = LP_ALPHA) -> dict:
@@ -579,6 +580,8 @@ def main() -> int:
                     help="LP class-weight alpha (default 0.90); sweep support")
     ap.add_argument("--seed", type=int, default=None,
                     help="ours-side init seed override (repeat runs)")
+    ap.add_argument("--rep", type=int, default=None,
+                    help="ref-side repeat index (unseeded; tags the artifact)")
     args = ap.parse_args()
 
     if args.side == "table":
@@ -587,7 +590,7 @@ def main() -> int:
     epochs = args.epochs or (CLS_EPOCHS if args.task == "cls" else LP_EPOCHS)
     if args.task == "cls":
         if args.side == "ref":
-            run_ref_cls(args.family, epochs)
+            run_ref_cls(args.family, epochs, rep=args.rep)
         else:
             run_ours_cls(args.family, epochs, seed=args.seed)
     else:
