@@ -114,19 +114,26 @@ def make_auto_operator(A: TemporalCOO, bf16: bool = False):
     """Build-time operator auto-selection for the FULL-ROW path.
 
     Picks the cheapest prepacked operator for ``A`` by the byte model:
-    on TPU, the block-dense operator whenever its dense block tensor
-    moves fewer bytes per apply than the Pallas kernel's tile-gather
-    floor (measured on chess: appearance-ordered ids are already the
-    best ordering — RCM / degree / activity clusterings all RAISE the
-    block count, see tools/blockdense_ordering.py), otherwise the
-    windowed Pallas kernel; off-TPU the input is returned unpacked (the
+    on TPU, the block-dense operator when its dense block tensor moves
+    LESS THAN HALF the bytes of the Pallas kernel's tile-gather floor —
+    the 0.5 margin (not the break-even 1.0) absorbs the block path's
+    costs the byte model ignores (windowed one-hot metadata streams and
+    boundary transposes), matching the measured crossover on chess-like
+    patterns. Ordering is appearance-ordered ids (measured best — RCM /
+    degree / activity clusterings all RAISE the block count, see
+    tools/blockdense_ordering.py). Otherwise: the windowed Pallas
+    kernel; off-TPU the input is returned unpacked (the
     gather/segment-sum path is native XLA on CPU).
 
     ``bf16=True`` selects the production-fast precision class (bf16
     block tensor / bf16 gather traffic, f32 accumulation); the default
-    keeps exact f32 semantics. Replaces the reference's per-epoch
-    ``for t: torch.sparse.mm`` loop at its own full-row computation
-    shape (embedding_help_functions.py:301-312).
+    keeps exact f32 semantics. The block-vs-gather byte RATIO is
+    itemsize-invariant (both paths scale together), so one threshold
+    serves both classes. Both fallback kernels use sort_cols=True —
+    column sorting only reorders gathers for locality, never the
+    accumulation order, so exact semantics are preserved. Replaces the
+    reference's per-epoch ``for t: torch.sparse.mm`` loop at its own
+    full-row computation shape (embedding_help_functions.py:301-312).
     """
     if jax.default_backend() != "tpu":
         return A
@@ -134,7 +141,7 @@ def make_auto_operator(A: TemporalCOO, bf16: bool = False):
     from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream
 
     g_rows, g_cols, _ = flatten_stream(A)
-    if estimate(g_rows, g_cols)["ratio"] < 0.5:
+    if estimate(g_rows, g_cols, itemsize=2 if bf16 else 4)["ratio"] < 0.5:
         from tmgcn_tpu.ops.spmm_blockdense import make_operator
 
         try:
@@ -145,7 +152,7 @@ def make_auto_operator(A: TemporalCOO, bf16: bool = False):
 
     return make_operator(
         A, chunk=512, window=256,
-        gather_dtype="bfloat16" if bf16 else None, sort_cols=bf16,
+        gather_dtype="bfloat16" if bf16 else None, sort_cols=True,
     )
 
 

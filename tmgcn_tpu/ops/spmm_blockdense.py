@@ -133,13 +133,19 @@ class BlockDenseOperator:
 
 
 def estimate(
-    rows: np.ndarray, cols: np.ndarray, block: int = DEFAULT_BLOCK
+    rows: np.ndarray, cols: np.ndarray, block: int = DEFAULT_BLOCK,
+    itemsize: int = 4,
 ) -> dict:
     """Host-side cost preview: block count, bytes/apply, vs gather floor.
 
     gather_floor_bytes is the HBM the sparse path cannot avoid (one
-    (8,128) f32 tile per nonzero row fetch); block_bytes is what this
+    (8,128) tile per nonzero row fetch); block_bytes is what this
     operator streams instead. ratio < 1 means block-dense moves less.
+    ``itemsize`` is the element width of the precision class being
+    compared (4 = f32 blocks vs f32 gathers, 2 = bf16 blocks vs bf16
+    gathers); it scales both sides equally, so the RATIO is
+    itemsize-invariant — it is threaded through so the absolute byte
+    counts in the preview are honest for the selected mode.
     """
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
@@ -148,8 +154,8 @@ def estimate(
         return {"nnz": 0, "n_blocks": 0, "block_bytes": 0, "ratio": 0.0}
     keys = (rows // block) << 32 | (cols // block)
     nb = len(np.unique(keys))
-    block_bytes = nb * block * block * 4
-    gather_floor = nnz * 8 * 128 * 4  # one f32 tile per row fetch
+    block_bytes = nb * block * block * itemsize
+    gather_floor = nnz * 8 * 128 * itemsize  # one tile per row fetch
     return {
         "nnz": int(nnz),
         "n_blocks": int(nb),

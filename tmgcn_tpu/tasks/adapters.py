@@ -130,7 +130,9 @@ def _build_restricted_layer2(
         if jax.default_backend() == "tpu":
             from tmgcn_tpu.ops.spmm_blockdense import estimate
 
-            est = estimate(rows_c, cols_c)
+            est = estimate(rows_c, cols_c, itemsize=2 if bf else 4)
+            # ratio < 0.5, not 1.0: the margin absorbs the block path's
+            # unmodeled costs (see ops/spmm.make_auto_operator).
             operator = ("blockdense" if est["ratio"] < 0.5 else "pallas") + bf
         else:
             operator = "rowsplit"
