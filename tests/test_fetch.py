@@ -1,0 +1,67 @@
+"""Fetch manifest: extraction, checksum pinning, and validation.
+
+Network-free: the test serves archives via file:// URLs and
+monkeypatches the manifest, exercising the exact code path a real
+download takes (capability reference: the reference's datasets are
+manual downloads named in read_data.m:13-103; the framework makes
+acquisition a validated one-command step).
+"""
+
+import gzip
+import json
+
+import numpy as np
+import pytest
+
+from tmgcn_tpu.preprocess import fetch as F
+from tmgcn_tpu.preprocess.synthetic_raw import generate
+
+
+@pytest.fixture()
+def manifest_env(tmp_path, monkeypatch):
+    """A local 'remote': the bitcoin_otc synthetic raw, gzipped."""
+    src_dir = tmp_path / "remote"
+    raw = generate("bitcoin_otc", src_dir, seed=0)
+    gz = src_dir / "soc-sign-bitcoinotc.csv.gz"
+    with open(raw, "rb") as f_in, gzip.open(gz, "wb") as f_out:
+        f_out.write(f_in.read())
+    monkeypatch.setattr(
+        F, "MANIFEST",
+        {"bitcoin_otc": F.FetchSpec(gz.as_uri(), "gz")},
+    )
+    monkeypatch.setattr(F, "LOCK_PATH", tmp_path / "MANIFEST.lock.json")
+    return tmp_path, raw
+
+
+def test_fetch_extracts_validates_and_pins(manifest_env):
+    tmp_path, raw = manifest_env
+    dest = F.fetch("bitcoin_otc", tmp_path / "real")
+    assert dest.exists()
+    assert dest.read_bytes() == raw.read_bytes()
+    lock = json.loads((tmp_path / "MANIFEST.lock.json").read_text())
+    assert lock["bitcoin_otc"]["sha256"] == F._sha256(dest)
+
+    # Second fetch validates against the pinned hash (no error).
+    F.fetch("bitcoin_otc", tmp_path / "real")
+
+
+def test_fetch_rejects_hash_mismatch(manifest_env):
+    tmp_path, _ = manifest_env
+    dest = F.fetch("bitcoin_otc", tmp_path / "real")
+    # Corrupt the file; re-validation must fail against the pinned hash.
+    with open(dest, "ab") as f:
+        f.write(b"tampered\n")
+    with pytest.raises(RuntimeError, match="sha256 mismatch"):
+        F.fetch("bitcoin_otc", tmp_path / "real")
+
+
+def test_manifest_covers_every_external_dataset():
+    from tmgcn_tpu.preprocess.datasets import REGISTRY
+
+    external = set(REGISTRY) - {"chess"}  # chess ships in-repo (also listed)
+    assert external <= set(F.MANIFEST)
+    # Every URL is http(s) and every tar entry names its member.
+    for name, spec in F.MANIFEST.items():
+        assert spec.url.startswith("http")
+        if spec.kind == "tar.bz2":
+            assert spec.member

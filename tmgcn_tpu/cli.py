@@ -260,6 +260,14 @@ def main(argv=None) -> int:
     pp.add_argument("--data-dir", required=True)
     pp.add_argument("--out")
 
+    fp = sub.add_parser(
+        "fetch",
+        help="download a REAL dataset (URL+sha256 manifest, "
+             "preprocess/fetch.py) into --data-root/<name>/",
+    )
+    fp.add_argument("dataset", help="dataset name or 'all'")
+    fp.add_argument("--data-root", default="data/real")
+
     rp = sub.add_parser("run", help="run an experiment preset")
     rp.add_argument("preset")
     rp.add_argument("--data-dir")
@@ -306,6 +314,15 @@ def main(argv=None) -> int:
         return _cmd_synth(args)
     if args.cmd == "preprocess":
         return _cmd_preprocess(args)
+    if args.cmd == "fetch":
+        from tmgcn_tpu.preprocess.fetch import fetch, fetch_all
+
+        if args.dataset == "all":
+            res = fetch_all(args.data_root)
+            failed = [k for k, v in res.items() if str(v).startswith("FAILED")]
+            return 1 if failed else 0
+        fetch(args.dataset, args.data_root)
+        return 0
     if args.cmd == "run":
         return _cmd_run(args)
     if args.cmd == "predict":

@@ -1,0 +1,187 @@
+"""Real-dataset acquisition: URL + checksum manifest and a fetcher.
+
+The reference's external datasets come from SNAP and KONECT
+(read_data.m:13-103 names every file). This environment has zero
+network egress, so the repo ships seeded synthetic stand-ins
+(preprocess/synthetic_raw.py) — every artifact produced from them is
+labeled synthetic. This module is the one-command path to REAL data
+the moment network access exists:
+
+    python -m tmgcn_tpu.cli fetch bitcoin_otc
+    python -m tmgcn_tpu.cli fetch all --data-root data/real
+
+Each entry records the canonical URL, the archive member that becomes
+the ``DatasetSpec.filename`` the preprocessing pipeline expects, and a
+sha256. Hashes marked ``None`` could not be pinned from inside this
+egress-less environment; the first successful fetch records the
+downloaded file's hash into ``data/MANIFEST.lock.json`` and every later
+fetch validates against it (trust-on-first-use, flagged in the output
+so a user can cross-check the published checksums).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import hashlib
+import json
+import shutil
+import tarfile
+from pathlib import Path
+
+from tmgcn_tpu.preprocess.datasets import REGISTRY
+
+
+@dataclasses.dataclass(frozen=True)
+class FetchSpec:
+    url: str
+    kind: str  # "plain" | "gz" | "tar.bz2"
+    member: str | None = None  # member path inside a tar archive
+    sha256: str | None = None  # None -> pin on first fetch
+    note: str | None = None
+
+
+MANIFEST: dict[str, FetchSpec] = {
+    # SNAP (read_data.m:14,22: soc-sign-bitcoin*.csv)
+    "bitcoin_otc": FetchSpec(
+        "https://snap.stanford.edu/data/soc-sign-bitcoinotc.csv.gz", "gz"
+    ),
+    "bitcoin_alpha": FetchSpec(
+        "https://snap.stanford.edu/data/soc-sign-bitcoinalpha.csv.gz", "gz"
+    ),
+    # SNAP (read_data.m:18-24 config block "Reddit")
+    "reddit": FetchSpec(
+        "https://snap.stanford.edu/data/soc-redditHyperlinks-body.tsv", "plain"
+    ),
+    # KONECT (read_data.m:26-32; data/chess ships in-repo — fetch is a
+    # re-validation path)
+    "chess": FetchSpec(
+        "http://konect.cc/files/download.tsv.chess.tar.bz2",
+        "tar.bz2", member="chess/out.chess",
+    ),
+    # KONECT (read_data.m:34: out.ca-cit-HepTh)
+    "hep_th": FetchSpec(
+        "http://konect.cc/files/download.tsv.ca-cit-HepTh.tar.bz2",
+        "tar.bz2", member="ca-cit-HepTh/out.ca-cit-HepTh",
+    ),
+    # KONECT (read_data.m:42: out.wikiconflict)
+    "wikiconflict": FetchSpec(
+        "http://konect.cc/files/download.tsv.wikiconflict.tar.bz2",
+        "tar.bz2", member="wikiconflict/out.wikiconflict",
+    ),
+    # Opsahl's UCI online community messages (read_data.m:59:
+    # OCnodeslinks.txt)
+    "uci": FetchSpec(
+        "http://opsahl.co.uk/tnet/datasets/OCnodeslinks.txt", "plain"
+    ),
+    # SNAP (read_data.m:77: email-Eu-core-temporal.txt)
+    "eu_core": FetchSpec(
+        "https://snap.stanford.edu/data/email-Eu-core-temporal.txt.gz", "gz"
+    ),
+    # AMLSim has no stable download: the reference consumed the
+    # 1Kvertices-100Kedges run of IBM's simulator (read_data.m:50).
+    "amlsim": FetchSpec(
+        "https://github.com/IBM/AMLSim", "plain",
+        note=(
+            "No canonical file: generate transactions.csv with IBM "
+            "AMLSim (1Kvertices-100Kedges config) and place it at "
+            "<data-root>/amlsim/transactions.csv"
+        ),
+    ),
+}
+
+LOCK_PATH = Path(__file__).resolve().parents[2] / "data" / "MANIFEST.lock.json"
+
+
+def _sha256(path: Path) -> str:
+    h = hashlib.sha256()
+    with open(path, "rb") as f:
+        for chunk in iter(lambda: f.read(1 << 20), b""):
+            h.update(chunk)
+    return h.hexdigest()
+
+
+def _load_lock() -> dict:
+    try:
+        return json.loads(LOCK_PATH.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_lock(lock: dict) -> None:
+    LOCK_PATH.parent.mkdir(parents=True, exist_ok=True)
+    LOCK_PATH.write_text(json.dumps(lock, indent=1, sort_keys=True))
+
+
+def fetch(name: str, data_root: str | Path = "data/real",
+          timeout: float = 120.0) -> Path:
+    """Download + extract + validate dataset ``name``.
+
+    Returns the path of the raw file at the location
+    ``load_raw``/``cli preprocess`` expect (<data_root>/<name>/<filename>).
+    """
+    import urllib.request
+
+    spec = REGISTRY[name]
+    f = MANIFEST[name]
+    if f.note and "github.com/IBM/AMLSim" in f.url:
+        raise RuntimeError(f.note)
+    dest_dir = Path(data_root) / name
+    dest_dir.mkdir(parents=True, exist_ok=True)
+    dest = dest_dir / spec.filename
+    if dest.exists():
+        print(f"{name}: {dest} already present")
+    else:
+        tmp = dest_dir / (spec.filename + ".download")
+        print(f"{name}: fetching {f.url}")
+        with urllib.request.urlopen(f.url, timeout=timeout) as r, open(
+            tmp, "wb"
+        ) as out:
+            shutil.copyfileobj(r, out)
+        if f.kind == "gz":
+            with gzip.open(tmp, "rb") as src, open(dest, "wb") as out:
+                shutil.copyfileobj(src, out)
+            tmp.unlink()
+        elif f.kind == "tar.bz2":
+            with tarfile.open(tmp, "r:bz2") as tar:
+                member = tar.extractfile(f.member)
+                if member is None:
+                    raise FileNotFoundError(f"{f.member} not in archive")
+                with open(dest, "wb") as out:
+                    shutil.copyfileobj(member, out)
+            tmp.unlink()
+        else:
+            tmp.rename(dest)
+
+    digest = _sha256(dest)
+    lock = _load_lock()
+    expected = f.sha256 or lock.get(name, {}).get("sha256")
+    if expected is None:
+        lock[name] = {"sha256": digest, "url": f.url, "pinned": "first-fetch"}
+        _save_lock(lock)
+        print(f"{name}: sha256 {digest} PINNED (trust-on-first-use; "
+              "cross-check against the published checksum)")
+    elif digest != expected:
+        raise RuntimeError(
+            f"{name}: sha256 mismatch — expected {expected}, got {digest}"
+        )
+    else:
+        print(f"{name}: sha256 ok ({digest[:16]}…)")
+
+    # Validate shape: the file must parse under the DatasetSpec.
+    from tmgcn_tpu.preprocess.datasets import load_raw
+
+    raw = load_raw(spec, dest_dir)
+    print(f"{name}: parsed ok ({raw.n_slices} slices, {raw.n_nodes} nodes)")
+    return dest
+
+
+def fetch_all(data_root: str | Path = "data/real") -> dict[str, str]:
+    out = {}
+    for name in MANIFEST:
+        try:
+            out[name] = str(fetch(name, data_root))
+        except Exception as e:  # keep going; report at the end
+            out[name] = f"FAILED: {e}"
+            print(f"{name}: {e}")
+    return out
