@@ -111,6 +111,7 @@ def pack_windowed_flat(
     chunk: int = DEFAULT_CHUNK,
     window: int = DEFAULT_WINDOW,
     sort_cols: bool = False,
+    all_windows: bool = True,
 ) -> PackedSpmm:
     """Pack a flat (row, col, val) entry stream for the kernel.
 
@@ -118,7 +119,13 @@ def pack_windowed_flat(
     count — possibly rectangular: cols index a DIFFERENT input space).
     Cuts the stream into chunks of ``chunk`` entries that never cross a
     ``window``-aligned output boundary. Every window gets at least one
-    chunk so all output blocks are initialized.
+    chunk so all output blocks are initialized — unless
+    ``all_windows=False``: then only NON-EMPTY windows get chunks and
+    the kernel must run with a pre-zeroed aliased output
+    (``windowed_segment_matmul(init=...)``). For scatter patterns that
+    touch a small fraction of a large output table (the edge-readout
+    backward: ~78k rows over T*N=584k on chess), the empty-window
+    chunks dominate the kernel's runtime 7x.
 
     sort_cols=True reorders entries within each output window by column
     id. The one-hot scatter is order-invariant inside a window, but the
@@ -143,7 +150,7 @@ def pack_windowed_flat(
     try:
         from tmgcn_tpu import native
 
-        if native.available():
+        if native.available() and all_windows:
             r, c, v, wid, first = native.pack_chunks(
                 g_rows, g_cols, g_vals.astype(np.float64), window, chunk, n_windows
             )
@@ -177,14 +184,15 @@ def pack_windowed_flat(
         chunk_wid.append(int(w))
         start = end
 
-    # Ensure every window is touched at least once.
-    touched = set(chunk_wid)
-    for w in range(n_windows):
-        if w not in touched:
-            chunks_rows.append(np.full(0, 0, np.int64))
-            chunks_cols.append(np.full(0, 0, np.int64))
-            chunks_vals.append(np.zeros(0, g_vals.dtype))
-            chunk_wid.append(w)
+    if all_windows:
+        # Ensure every window is touched at least once.
+        touched = set(chunk_wid)
+        for w in range(n_windows):
+            if w not in touched:
+                chunks_rows.append(np.full(0, 0, np.int64))
+                chunks_cols.append(np.full(0, 0, np.int64))
+                chunks_vals.append(np.zeros(0, g_vals.dtype))
+                chunk_wid.append(w)
 
     # Sort chunks by window so same-window chunks are consecutive (the
     # output block revisit pattern Pallas requires).
@@ -222,8 +230,15 @@ def pack_windowed_flat(
     )
 
 
-def _scatter_kernel(wid_ref, first_ref, rows_ref, vals_ref, g_ref, out_ref, *, precision):
-    """One chunk: out_window (+)= onehot(rows)ᵀ-matmul of scaled values."""
+def _scatter_kernel(
+    wid_ref, first_ref, rows_ref, vals_ref, g_ref, *refs, precision, aliased=False
+):
+    """One chunk: out_window (+)= onehot(rows)ᵀ-matmul of scaled values.
+
+    With ``aliased`` an extra init ref precedes out_ref (the donated
+    zero backing store; never read — first-visit writes overwrite, and
+    unvisited windows keep its content)."""
+    out_ref = refs[-1]
     j = pl.program_id(0)
     C = rows_ref.shape[-1]
     W = out_ref.shape[0]
@@ -263,11 +278,19 @@ def windowed_segment_matmul(
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     out_dtype=None,
+    init: jax.Array | None = None,
 ) -> jax.Array:
     """(J, C, F) gathered chunks -> (n_rows_out, F) segment sums.
 
     out_dtype defaults to gathered.dtype; pass f32 with bf16 chunks for
     bf16-traffic / f32-accumulate operation.
+
+    ``init``: a ZERO (n_rows_out, F) array donated as the output's
+    backing store (input_output_aliases). Required when ``packed`` was
+    built with all_windows=False — windows without chunks are never
+    visited by the grid, so they keep the donated zeros. This turns the
+    readout-backward scatter from O(n_windows) chunk launches into
+    O(nnz/chunk): 3.85 ms -> sub-ms on the chess (78k-of-584k) shape.
     """
     J, C = packed.rows.shape
     F = gathered.shape[-1]
@@ -275,20 +298,42 @@ def windowed_segment_matmul(
     out_dtype = gathered.dtype if out_dtype is None else out_dtype
     itemsize = jnp.dtype(gathered.dtype).itemsize
 
+    in_specs = [
+        pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, C, F), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        packed.window_id,
+        packed.is_first,
+        packed.rows[:, None, :],
+        packed.vals[:, None, :],
+        gathered,
+    ]
+    kwargs = {}
+    kernel = partial(_scatter_kernel, precision=precision, aliased=init is not None)
+    if init is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (W, F), lambda j, wid, first: (wid[j], 0), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(init.astype(out_dtype))
+        # Alias the init operand to output 0 (indices count ALL inputs,
+        # scalar-prefetch included: wid, first, rows, vals, gathered,
+        # init): unvisited windows keep its zeros.
+        kwargs["input_output_aliases"] = {5: 0}
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,  # window_id, is_first
         grid=(J,),
-        in_specs=[
-            pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, C, F), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec(
             (W, F), lambda j, wid, first: (wid[j], 0), memory_space=pltpu.VMEM
         ),
     )
     return pl.pallas_call(
-        partial(_scatter_kernel, precision=precision),
+        kernel,
         out_shape=jax.ShapeDtypeStruct((packed.n_rows_out, F), out_dtype),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -297,13 +342,8 @@ def windowed_segment_matmul(
             bytes_accessed=J * C * F * itemsize + packed.n_rows_out * F * 4,
             transcendentals=0,
         ),
-    )(
-        packed.window_id,
-        packed.is_first,
-        packed.rows[:, None, :],
-        packed.vals[:, None, :],
-        gathered,
-    )
+        **kwargs,
+    )(*operands)
 
 
 def _flat_fwd_impl(n_out, fast, interpret, gather_dtype, packed, flat):

@@ -40,7 +40,10 @@ def _init_lstm(key: jax.Array, f: int, dtype) -> tuple[dict, dict]:
     return params, buffers
 
 
-def lstm_scan(params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array) -> jax.Array:
+def lstm_scan(
+    params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array,
+    unroll: int | None = None,
+) -> jax.Array:
     """Scan the shared-weight LSTM over (T, N, F) -> (T, N, F).
 
     Two layout decisions for the TPU:
@@ -66,6 +69,39 @@ def lstm_scan(params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array) -> jax.A
         ],
         axis=1,
     )
+    return jnp.swapaxes(_lstm_scan_pre(p, h0, c0, pre, unroll), 1, 2)
+
+
+def lstm_scan_t(
+    params: dict, h0: jax.Array, c0: jax.Array, Yt: jax.Array,
+    unroll: int | None = None,
+) -> jax.Array:
+    """lstm_scan on a TRANSPOSED (T, F, N) input -> (T, N, F) output.
+
+    The lane-major fast path: with the embeddings already in (F, N)
+    layout, the gate contributions are batched (F, F) @ (F, N) matmuls —
+    no reads of an F-minor array (F ~ 6 pads the 128-lane dimension
+    ~21x, so the (T, N, F) einsum in lstm_scan touches 21x more VREG
+    tiles than its data needs). One transpose at the end returns the
+    readout's (T, N, F) layout.
+    """
+    p = params
+    pre = jnp.stack(
+        [
+            jnp.einsum("kg,tkn->tgn", p[f"W{g}"].astype(Yt.dtype), Yt)
+            + p[f"b{g}"][:, None]
+            for g in "fjoc"
+        ],
+        axis=1,
+    )
+    return jnp.swapaxes(_lstm_scan_pre(p, h0, c0, pre, unroll), 1, 2)
+
+
+def _lstm_scan_pre(
+    p: dict, h0: jax.Array, c0: jax.Array, pre: jax.Array,
+    unroll: int | None,
+) -> jax.Array:
+    """Shared scan over precomputed (T, 4, F, N) gate contributions."""
     # (F, 4F): recurrent weights stacked on the output axis. Each output
     # element is the same length-F dot product as the unfused version,
     # so f64 parity is bit-compatible per gate.
@@ -80,10 +116,18 @@ def lstm_scan(params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array) -> jax.A
         h = o * jnp.tanh(c)
         return (h, c), h
 
-    n = Y.shape[1]
+    n = pre.shape[-1]
     carry0 = (jnp.tile(h0[:, None], (1, n)), jnp.tile(c0[:, None], (1, n)))
-    _, Z = jax.lax.scan(step, carry0, pre, unroll=8)
-    return jnp.swapaxes(Z, 1, 2)  # back to (T, N, F)
+    if unroll is None:
+        # Full unroll for moderate T: XLA then fuses across steps and the
+        # backward needs no scan-carry stacking — measured fwd+bwd on the
+        # chess shape (T=80, N=7301): 2.06 ms at unroll=8 -> 1.31 ms
+        # fully unrolled, while PARTIAL unrolls are non-monotonic and
+        # worse (u16 3.2 ms, u40 4.0 ms; results/wdgcn_profile.json).
+        # Guard compile time for long-T configs with the u8 fallback.
+        unroll = pre.shape[0] if pre.shape[0] <= 128 else 8
+    _, Z = jax.lax.scan(step, carry0, pre, unroll=unroll)
+    return Z  # (T, F, N)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -116,8 +160,23 @@ class WDGCN:
         A: TemporalCOO,
         X: jax.Array,
         AX: jax.Array | None = None,
+        AXt: jax.Array | None = None,
     ) -> jax.Array:
         p, b = variables["params"], variables["buffers"]
+        if AXt is not None:
+            # Lane-major fast path: the adapter caches the transposed
+            # (T, F0, N) propagation, so the GCN matmul, the gate
+            # contributions and the scan all run with N on the 128-lane
+            # axis (results/wdgcn_profile.json: the (T, N, F) layout is
+            # the dominant epoch cost at F=6).
+            Yt = jax.nn.relu(
+                jnp.einsum(
+                    "fk,tfn->tkn",
+                    p["W"].astype(AXt.dtype),
+                    AXt.astype(self.dtype),
+                )
+            )
+            return lstm_scan_t(p["lstm"], b["h_init"], b["c_init"], Yt)
         if AX is None:
             AX = self.propagate(A, X)
         AX = AX.astype(self.dtype)  # reference f32 buffer truncation
@@ -132,8 +191,9 @@ class WDGCN:
         edges: jax.Array,
         AX: jax.Array | None = None,
         readout_op=None,
+        AXt: jax.Array | None = None,
     ) -> jax.Array:
-        Z = self.embed(variables, A, X, AX)
+        Z = self.embed(variables, A, X, AX, AXt=AXt)
         U = variables["buffers"]["U"]
         if readout_op is not None:
             return readout_op(Z, U)

@@ -141,14 +141,21 @@ def make_readout_plan(
 
     # Reuse the SpMM packer: a 1-slice tensor whose rows are the sorted
     # scatter targets and whose cols index the sorted gradient stream.
-    fake = TemporalCOO(
-        rows=sorted_rows[None, :].astype(np.int32),
-        cols=np.arange(2 * E, dtype=np.int32)[None, :],
-        vals=np.ones((1, 2 * E), np.float32),
-        nnz=np.asarray([2 * E], np.int32),
-        n_nodes=n_slices * n_nodes,
+    # all_windows=False: the scatter touches ~2E of T*N rows; empty-
+    # window chunks would dominate the kernel 7x (results/
+    # wdgcn_profile.json). The backward passes a zero init aliased as
+    # the output store instead.
+    from tmgcn_tpu.kernels.spmm_pallas import pack_windowed_flat
+
+    packed = pack_windowed_flat(
+        sorted_rows,
+        np.arange(2 * E, dtype=np.int64),
+        np.ones(2 * E, np.float32),
+        n_slices * n_nodes,
+        chunk=chunk,
+        window=window,
+        all_windows=False,
     )
-    packed = pack_windowed(fake, chunk=chunk, window=window)
     sort_cols = perm[np.asarray(packed.cols).reshape(-1)].astype(np.int32)
     return ReadoutPlan(
         src=jnp.asarray(src.astype(np.int32)),
@@ -189,7 +196,10 @@ def _readout_bwd(res, g):
     d_both = jnp.concatenate([g @ U2[:F].T, g @ U2[F:].T], axis=0)  # (2E, F)
     packed = plan.packed
     gathered = d_both[plan.sort_cols].reshape(packed.n_chunks, packed.chunk, F)
-    dflat = windowed_segment_matmul(packed, gathered, interpret=plan.interpret)
+    dflat = windowed_segment_matmul(
+        packed, gathered, interpret=plan.interpret,
+        init=jnp.zeros((packed.n_rows_out, F), gathered.dtype),
+    )
     from tmgcn_tpu.kernels.spmm_pallas import _zero_cotangent
 
     return _zero_cotangent(plan), dflat[: plan.n_rows].reshape(Y.shape), dU

@@ -412,6 +412,25 @@ def make_edge_adapter(
 
             return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
+        if isinstance(model, WDGCN):
+            # Transposed (T, F0, N) cache: the whole WD-GCN forward then
+            # runs lane-major (see models/wdgcn.lstm_scan_t).
+            for b in bundles.values():
+                b["cached_t"] = jnp.swapaxes(b["cached"], 1, 2)
+
+            def apply(variables, bundle, carry):
+                out = model.apply(
+                    variables,
+                    bundle["adj"],
+                    bundle["X"],
+                    bundle["edges"],
+                    readout_op=_readout_fn(bundle),
+                    AXt=bundle["cached_t"],
+                )
+                return out, carry
+
+            return ModelAdapter(model.init, apply, bundles, lambda variables: ())
+
         def apply(variables, bundle, carry):
             out = model.apply(
                 variables,
