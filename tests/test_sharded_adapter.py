@@ -413,3 +413,76 @@ class TestKWGCNAndMTwiceParity:
             np.testing.assert_allclose(
                 np.asarray(out_sh), np.asarray(out_ref), atol=2e-5
             )
+
+
+class TestTrainStats:
+    """Collective-light train statistics vs the logit path.
+
+    train_stats computes the weighted-CE loss and confusion counts on
+    the time-SHARDED bucket logits (no (E, C) all-gather — the comm
+    model's eval-step cap); the values must match the apply() path's
+    logits to reassociation tolerance.
+    """
+
+    @pytest.mark.parametrize("mesh_shape", [(2, 4), (4, 2), (1, 8)])
+    def test_matches_logit_path(self, problem, mesh_shape):
+        from tmgcn_tpu.train.losses import weighted_cross_entropy
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = TMGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 2))
+        mesh = make_mesh(*mesh_shape)
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, M, mesh)
+        assert sh.train_stats is not None
+        variables = sh.init(jax.random.PRNGKey(0))
+        rng = np.random.default_rng(3)
+        tgt = jnp.asarray(rng.integers(0, 2, edges.shape[1]))
+        cw = jnp.asarray(np.array([0.9, 0.1], np.float32))
+
+        out, _ = sh.apply(variables, sh.bundles["train"], ())
+        loss_ref = weighted_cross_entropy(out, tgt, cw)
+        guess = jnp.argmax(out, axis=1)
+        conf_ref = (
+            int(jnp.sum((guess == 0) & (tgt == 0))),
+            int(jnp.sum((guess == 0) & (tgt != 0))),
+            int(jnp.sum((guess != 0) & (tgt == 0))),
+        )
+
+        loss, (tp, fp, fn) = sh.train_stats(
+            variables, sh.bundles["train"], tgt, cw
+        )
+        np.testing.assert_allclose(float(loss), float(loss_ref), rtol=1e-5)
+        assert (int(tp), int(fp), int(fn)) == conf_ref
+
+    def test_chunked_loop_uses_stats(self, problem):
+        """run_edge_classification on a sharded adapter converges the
+        same losses whether the stats path exists or not."""
+        import dataclasses as dc
+
+        from tmgcn_tpu.tasks.windows import EdgeSplit
+        from tmgcn_tpu.train.loop import TrainConfig, run_edge_classification
+
+        A, M, X, edges, adj, feats, edict = problem
+        model = TMGCN(n_slices=A.n_slices, in_feat=4, hidden_feat=(6, 2))
+        mesh = make_mesh(2, 4)
+        sh = make_sharded_edge_adapter(model, adj, feats, edict, M, mesh)
+        rng = np.random.default_rng(4)
+        tgt = rng.integers(0, 2, edges.shape[1])
+        splits = {
+            w: EdgeSplit(
+                edges=edges, target=tgt, eval_mask=np.ones(len(tgt), bool)
+            )
+            for w in ("train", "val", "test")
+        }
+        cfg = TrainConfig(n_epochs=6, eval_every=3, lr=0.01, momentum=0.9)
+        res_stats, _ = run_edge_classification(
+            sh, splits, np.array([0.9, 0.1]), cfg, key=jax.random.PRNGKey(0)
+        )
+        no_stats = dc.replace(sh, train_stats=None)
+        res_plain, _ = run_edge_classification(
+            no_stats, splits, np.array([0.9, 0.1]), cfg,
+            key=jax.random.PRNGKey(0),
+        )
+        np.testing.assert_allclose(
+            res_stats[:, 3], res_plain[:, 3], rtol=2e-4
+        )
+        np.testing.assert_allclose(res_stats[:, :3], res_plain[:, :3], atol=1e-6)

@@ -515,12 +515,57 @@ def make_sharded_edge_adapter(
         flat = stacked.reshape(-1, C)
         return flat[bundle["pos"]], carry
 
+    def train_stats(variables, bundle, tgt, cw, logit_transform=None):
+        """Loss + confusion WITHOUT un-bucketing the logits.
+
+        ``flat[pos]`` above makes GSPMD all-gather the (E, C) logits
+        along ``time`` to restore edge order — the eval-step asymptotic
+        comm cap (utils/comm_model.py). Loss and confusion counts are
+        permutation-invariant reductions, so the 99-in-100 non-eval
+        epochs compute them on the time-SHARDED bucket logits directly:
+        targets are scattered into bucket order (tiny, replicated) and
+        the masked sums lower to scalar psums.
+        """
+        p = variables["params"]
+        if remap_params is not None:
+            p = remap_params(p)
+        stacked = step_forward(
+            p,
+            bundle["cached"],
+            bundle["rows"],
+            bundle["cols"],
+            bundle["vals"],
+            bundle.get("l2op_parts", {}),
+            bundle["m_blocks"],
+            bundle["edges_b"],
+            bundle["mask"],
+        )
+        C = stacked.shape[-1]
+        flat = stacked.reshape(-1, C)
+        if logit_transform is not None:
+            flat = logit_transform(flat)
+            C = flat.shape[-1]
+        tgt_b = jnp.zeros((flat.shape[0],), jnp.asarray(tgt).dtype)
+        tgt_b = tgt_b.at[bundle["pos"]].set(tgt)
+        maskf = bundle["mask"].reshape(-1)
+
+        from tmgcn_tpu.train.losses import weighted_cross_entropy
+
+        loss = weighted_cross_entropy(flat, tgt_b, jnp.asarray(cw), mask=maskf)
+        guess = jnp.argmax(flat, axis=1)
+        tp = jnp.sum((guess == 0) & (tgt_b == 0) & maskf)
+        fp = jnp.sum((guess == 0) & (tgt_b != 0) & maskf)
+        fn = jnp.sum((guess != 0) & (tgt_b == 0) & maskf)
+        return loss, (tp, fp, fn)
+
     def init(key):
         variables = model.init(key)
         repl = NamedSharding(mesh, P())
         return jax.device_put(variables, repl)
 
-    return ModelAdapter(init, apply, bundles, lambda variables: ())
+    return ModelAdapter(
+        init, apply, bundles, lambda variables: (), train_stats=train_stats
+    )
 
 # ---------------------------------------------------------------------------
 # Recurrent families (EvolveGCN, WD-GCN): graph-axis sharding.

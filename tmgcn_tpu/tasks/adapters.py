@@ -197,6 +197,14 @@ class ModelAdapter:
     apply: Callable[[dict, dict, Any], tuple[jax.Array, Any]]
     bundles: dict[str, dict]
     initial_carry: Callable[[dict], Any]
+    # Optional collective-light training statistics:
+    # (variables, bundle, tgt, cw, logit_transform) -> (loss, (tp, fp, fn)).
+    # Sharded adapters implement it so non-eval epochs reduce the loss
+    # and confusion counts to scalar psums on SHARDED logits instead of
+    # all-gathering the (E, C) logit tensor — the eval-step asymptotic
+    # cap identified by utils/comm_model.py. None -> the loops use
+    # ``apply`` for everything (single-device behavior unchanged).
+    train_stats: Callable | None = None
 
     def logits(self, variables: dict, window: str, carry: Any = ()) -> tuple[jax.Array, Any]:
         """Eager convenience: apply on a named window's bundle."""

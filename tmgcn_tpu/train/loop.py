@@ -109,12 +109,38 @@ def _make_steps(
         aux = _confusion(out, tgt) if with_confusion else ()
         return params, opt_state, loss, out, carry, aux
 
+    use_stats = getattr(adapter, "train_stats", None) is not None
+
+    def sgd_step_stats(params, opt_state, bundle, tgt):
+        """Collective-light step: loss/confusion from SHARDED logits."""
+
+        def loss_fn(p):
+            loss, aux = adapter.train_stats(
+                {"params": p, "buffers": buffers}, bundle, tgt, cw,
+                logit_transform,
+            )
+            return loss, aux
+
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt_state = opt.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aux
+
     @partial(jax.jit, static_argnames="n_steps")
     def chunk_step(params, opt_state, bundle, tgt, n_steps):
         def body(carry, _):
             params, opt_state = carry
-            params, opt_state, loss, out, _ = sgd_step(params, opt_state, bundle, tgt)
-            aux = _confusion(out, tgt) if with_confusion else ()
+            if use_stats:
+                params, opt_state, loss, aux = sgd_step_stats(
+                    params, opt_state, bundle, tgt
+                )
+                if not with_confusion:
+                    aux = ()
+            else:
+                params, opt_state, loss, out, _ = sgd_step(
+                    params, opt_state, bundle, tgt
+                )
+                aux = _confusion(out, tgt) if with_confusion else ()
             return (params, opt_state), (loss, aux)
 
         (params, opt_state), (losses, auxs) = jax.lax.scan(
