@@ -627,13 +627,37 @@ def bench_spmm_isolated(data, impl: str) -> dict:
         from tmgcn_tpu.ops.spmm import spmm
 
         op = lambda x: spmm(Ct, x)
+    # Device-side apply loop: a sub-ms kernel timed by 15 host-dispatched
+    # calls inherits every host-scheduler stall through the tunnel — the
+    # round-3 blockdense_bf16 110<->293 Mnnz/s swing reproduced exactly
+    # with host load. One dispatch runs n_apply applications under
+    # lax.scan, so the measured window is pure device time.
+    n_apply = 32
+
+    def chain(apply_fn, x):
+        def body(y, _):
+            # astype: bf16-traffic operators accumulate/return f32; keep
+            # the carry dtype stable for scan.
+            return apply_fn(y).astype(x.dtype), None
+
+        y, _ = jax.lax.scan(body, x, None, length=n_apply)
+        return y.sum()
+
     if impl.startswith("blockdense"):
         # Pass the operator through the jit boundary: its multi-GB block
         # tensor must stay an XLA parameter, not a baked constant.
         op_arg = jax.device_put(op)
-        dt = measure(jax.jit(lambda o, x: o(x).sum()), op_arg, X, iters=15)
+        runs = [
+            measure(jax.jit(lambda o, x: chain(o, x)), op_arg, X, iters=2)
+            for _ in range(3)
+        ]
     else:
-        dt = measure(jax.jit(lambda x: op(x).sum()), X, iters=15)
+        runs = [
+            measure(jax.jit(lambda x: chain(op, x)), X, iters=2)
+            for _ in range(3)
+        ]
+    dt = min(runs) / n_apply
+    spread = (max(runs) - min(runs)) / max(runs)
     cost = spmm_cost(nnz, T * N, F)
     return {
         "mnnz_per_s": round(nnz / dt / 1e6, 1),
@@ -642,6 +666,7 @@ def bench_spmm_isolated(data, impl: str) -> dict:
         "roofline_frac": round(cost.roofline_fraction(dt), 3),
         # ...vs the tile-amplified gather bound, the honest target.
         "gather_bound_frac": round(spmm_gather_bound(nnz) / dt, 3),
+        "run_spread": round(spread, 3),
     }
 
 
