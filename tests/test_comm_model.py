@@ -1,0 +1,63 @@
+"""Analytic comm model: structural invariants (utils/comm_model.py)."""
+
+import numpy as np
+
+from tmgcn_tpu.utils.comm_model import (
+    CHESS_CLS,
+    CHESS_CLS2,
+    SCALED,
+    crossover,
+    mesh_shapes,
+    predict,
+    ring_all_reduce_bytes,
+    step_comm_bytes,
+)
+
+
+def test_single_device_has_no_comm():
+    c = step_comm_bytes(CHESS_CLS, 1, 1)
+    assert c["total"] == 0.0
+
+
+def test_ring_all_reduce_formula():
+    # 2(n-1)/n of the buffer per device; n=1 is free.
+    assert ring_all_reduce_bytes(100, 1) == 0.0
+    assert ring_all_reduce_bytes(100, 2) == 100.0
+    np.testing.assert_allclose(ring_all_reduce_bytes(96, 4), 144.0)
+
+
+def test_trainstep_drops_logit_allgather():
+    full = step_comm_bytes(CHESS_CLS, 1, 8)
+    train = step_comm_bytes(CHESS_CLS, 1, 8, train_only=True)
+    assert full["logit_allgather_time"] > 0
+    assert train["logit_allgather_time"] == 0.0
+    assert train["total"] < full["total"]
+
+
+def test_two_layer_row_allgather_dominates_graph_meshes():
+    # Sharding the graph axis on the 2-layer model must cost the row
+    # all-gather; a pure time mesh avoids it.
+    g_mesh = step_comm_bytes(CHESS_CLS2, 8, 1)
+    t_mesh = step_comm_bytes(CHESS_CLS2, 1, 8)
+    assert g_mesh["row_allgather_graph"] > 0
+    assert "row_allgather_graph" not in t_mesh or t_mesh["row_allgather_graph"] == 0
+    assert g_mesh["total"] > t_mesh["total"]
+
+
+def test_efficiency_monotone_in_transport():
+    ici = predict(SCALED, 1, 8, "ici")
+    dcn = predict(SCALED, 1, 8, "dcn")
+    assert ici["predicted_efficiency"] >= dcn["predicted_efficiency"]
+
+
+def test_trainstep_crossover_at_least_eval():
+    for w in (CHESS_CLS, CHESS_CLS2, SCALED):
+        ev = crossover(w, "ici")
+        tr = crossover(w, "ici", key="predicted_efficiency_trainstep")
+        if ev is not None and tr is not None:
+            assert tr["devices"] >= ev["devices"]
+
+
+def test_mesh_shapes_factorize():
+    for g, t in mesh_shapes(12):
+        assert g * t == 12
