@@ -711,7 +711,18 @@ def torch_only() -> int:
 def main() -> int:
     if "--torch-only" in sys.argv:
         return torch_only()
-    if not _device_alive():
+    # The axon tunnel drops for minutes at a time (observed repeatedly);
+    # a driver-run bench landing in such a window would record a
+    # zero-value artifact. Wait (bounded) for the device to come back
+    # before declaring it unreachable.
+    wait_s = float(os.environ.get("TMGCN_BENCH_DEVICE_WAIT_S", "1200"))
+    t0 = time.perf_counter()
+    alive = _device_alive()
+    while not alive and time.perf_counter() - t0 < wait_s:
+        print("# accelerator unreachable; retrying in 60s", file=sys.stderr)
+        time.sleep(60)
+        alive = _device_alive(timeout_s=60)
+    if not alive:
         print(
             json.dumps(
                 {

@@ -204,3 +204,64 @@ class TestFlatRectangular:
         dense = np.zeros((n_out, n_in), np.float32)
         np.add.at(dense, (r, c), v)
         np.testing.assert_allclose(np.asarray(out), dense @ np.asarray(X), atol=1e-4)
+
+
+class TestSparseWindowPacking:
+    """pack_windowed_flat(all_windows=False): only non-empty windows."""
+
+    def test_chunk_counts(self):
+        import numpy as np
+
+        from tmgcn_tpu.kernels.spmm_pallas import pack_windowed_flat
+
+        rng = np.random.default_rng(0)
+        n_out = 4096
+        rows = np.sort(rng.choice(512, 300, replace=True))  # first 2 windows only
+        cols = rng.integers(0, 1000, 300)
+        vals = np.ones(300, np.float32)
+        dense = pack_windowed_flat(rows, cols, vals, n_out, chunk=256, window=256)
+        sparse = pack_windowed_flat(
+            rows, cols, vals, n_out, chunk=256, window=256, all_windows=False
+        )
+        n_windows = n_out // 256
+        assert dense.rows.shape[0] >= n_windows  # one chunk per window
+        # sparse: only the touched windows (rows < 512 -> 2 windows).
+        assert sparse.rows.shape[0] <= 4
+        touched = set(np.asarray(sparse.window_id).tolist())
+        assert touched == {0, 1}
+
+    def test_sparse_matches_dense_with_init(self):
+        import jax.numpy as jnp
+        import numpy as np
+
+        from tmgcn_tpu.kernels.spmm_pallas import (
+            pack_windowed_flat,
+            windowed_segment_matmul,
+        )
+
+        rng = np.random.default_rng(1)
+        n_out, E, F = 2048, 150, 8
+        rows = np.sort(rng.choice(300, E, replace=True))
+        cols = np.arange(E)
+        vals = rng.standard_normal(E).astype(np.float32)
+        g = rng.standard_normal((E, F)).astype(np.float32)
+
+        dense = pack_windowed_flat(rows, cols, vals, n_out, chunk=64, window=128)
+        gathered_d = jnp.asarray(g[np.asarray(dense.cols).reshape(-1)]).reshape(
+            dense.rows.shape[0], 64, F
+        )
+        out_d = windowed_segment_matmul(dense, gathered_d, interpret=True)
+
+        sparse = pack_windowed_flat(
+            rows, cols, vals, n_out, chunk=64, window=128, all_windows=False
+        )
+        gathered_s = jnp.asarray(g[np.asarray(sparse.cols).reshape(-1)]).reshape(
+            sparse.rows.shape[0], 64, F
+        )
+        out_s = windowed_segment_matmul(
+            sparse, gathered_s, interpret=True,
+            init=jnp.zeros((sparse.n_rows_out, F), jnp.float32),
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_s), np.asarray(out_d), atol=1e-5
+        )
