@@ -1,0 +1,176 @@
+"""Production-scale single-chip benchmark: large synthetic dynamic graph.
+
+The reference's datasets top out at ~7k nodes / 65k edges; this measures
+the framework at the scale the design targets (SURVEY.md §7 north star):
+a power-law temporal graph with hundreds of thousands of nodes and
+millions of adjacency nonzeros, trained with the same adapter/loop
+machinery as every preset (1-layer cached path and the
+readout-restricted 2-layer path).
+
+    python tools/bench_scale.py [--nodes 500000] [--slices 64]
+        [--nnz-per-slice 2000000] [--edges 1000000] [--out results/scale_bench.json]
+
+Reports steady-state ms/epoch and labeled-edges/s on the real chip.
+Timing forces device-side scalar fetches (axon tunnel rule) and scans
+epochs on device.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+import numpy as np
+
+REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+
+def build_graph(n_nodes: int, n_slices: int, nnz_per_slice: int, seed: int = 0):
+    """Power-law temporal adjacency, row-sorted per slice, normalized."""
+    from tmgcn_tpu.core.sparse import TemporalCOO
+
+    rng = np.random.default_rng(seed)
+    pop = rng.pareto(1.3, n_nodes) + 1.0
+    p = pop / pop.sum()
+    slices = []
+    for _ in range(n_slices):
+        r = rng.choice(n_nodes, nnz_per_slice, p=p).astype(np.int64)
+        c = rng.choice(n_nodes, nnz_per_slice, p=p).astype(np.int64)
+        order = np.argsort(r, kind="stable")
+        r, c = r[order], c[order]
+        # D^{-1/2} (B+I) D^{-1/2}-style value scale (approximate degree
+        # normalization keeps activations bounded; the bench measures
+        # throughput, not accuracy).
+        v = np.full(len(r), 1.0 / np.sqrt(nnz_per_slice / n_nodes), np.float32)
+        slices.append((r, c, v))
+    return TemporalCOO.from_slices(slices, n_nodes, dtype=np.float32)
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--nodes", type=int, default=500_000)
+    ap.add_argument("--slices", type=int, default=64)
+    ap.add_argument("--nnz-per-slice", type=int, default=2_000_000)
+    ap.add_argument("--edges", type=int, default=1_000_000)
+    ap.add_argument("--band", type=int, default=20)
+    ap.add_argument("--n-timed", type=int, default=20)
+    ap.add_argument("--out", default="results/scale_bench.json")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from tmgcn_tpu.core.mmatrix import make_m_matrix
+    from tmgcn_tpu.models.tmgcn import TMGCN, TMGCN2
+    from tmgcn_tpu.ops.degree import degree_features_np
+    from tmgcn_tpu.ops.mtransform import m_transform_coo
+    from tmgcn_tpu.tasks.adapters import make_edge_adapter
+    from tmgcn_tpu.train.losses import weighted_cross_entropy
+
+    res = {
+        "nodes": args.nodes, "slices": args.slices,
+        "nnz_per_slice": args.nnz_per_slice, "edges": args.edges,
+        "backend": jax.default_backend(),
+    }
+    t0 = time.perf_counter()
+    A = build_graph(args.nodes, args.slices, args.nnz_per_slice)
+    M = make_m_matrix(args.slices, args.band).astype(np.float32)
+    X = degree_features_np(A).astype(np.float32)
+    rng = np.random.default_rng(1)
+    edges = np.stack([
+        rng.integers(0, args.slices, args.edges),
+        rng.integers(0, args.nodes, args.edges),
+        rng.integers(0, args.nodes, args.edges),
+    ]).astype(np.int64)
+    tgt = jnp.asarray(rng.integers(0, 2, args.edges))
+    cw = jnp.asarray(np.array([0.9, 0.1], np.float32))
+    res["build_host_s"] = round(time.perf_counter() - t0, 1)
+    print(f"# built: {A.n_slices}x{A.n_nodes}, "
+          f"{int(np.asarray(A.nnz).sum())} nnz, host {res['build_host_s']}s",
+          file=sys.stderr)
+
+    adj = {w: A for w in ("train", "val", "test")}
+    feats = {w: X for w in ("train", "val", "test")}
+    edict = {w: edges for w in ("train", "val", "test")}
+
+    def timed_epochs(adapter, n_timed):
+        variables = adapter.init(jax.random.PRNGKey(0))
+        params, buffers = variables["params"], variables["buffers"]
+        opt = optax.sgd(0.01, momentum=0.9)
+        opt_state = opt.init(params)
+
+        from functools import partial
+
+        @partial(jax.jit, static_argnames="n")
+        def chunk(params, opt_state, n):
+            def body(carry, _):
+                p, s = carry
+
+                def loss_fn(pp):
+                    with jax.default_matmul_precision("highest"):
+                        out, _ = adapter.apply(
+                            {"params": pp, "buffers": buffers},
+                            adapter.bundles["train"], (),
+                        )
+                    return weighted_cross_entropy(out, tgt, cw)
+
+                loss, g = jax.value_and_grad(loss_fn)(p)
+                u, s = opt.update(g, s)
+                return (optax.apply_updates(p, u), s), loss
+
+            (params, opt_state), losses = jax.lax.scan(
+                body, (params, opt_state), None, length=n
+            )
+            return params, opt_state, losses
+
+        t0 = time.perf_counter()
+        params, opt_state, losses = chunk(params, opt_state, n_timed)
+        _ = float(losses.sum())
+        compile_and_first = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        params, opt_state, losses = chunk(params, opt_state, n_timed)
+        _ = float(losses.sum())
+        dt = (time.perf_counter() - t0) / n_timed
+        return dt, compile_and_first
+
+    # --- 1-layer (cached-propagation path) ---
+    t0 = time.perf_counter()
+    model1 = TMGCN(n_slices=args.slices, in_feat=X.shape[-1], hidden_feat=(6, 2))
+    ad1 = make_edge_adapter(model1, adj, feats, edict, M=M)
+    res["adapter1_build_s"] = round(time.perf_counter() - t0, 1)
+    dt, warm = timed_epochs(ad1, args.n_timed)
+    res["one_layer_ms_per_epoch"] = round(dt * 1e3, 2)
+    res["one_layer_edges_per_s"] = round(args.edges / dt)
+    print(f"# 1-layer {dt*1e3:.2f} ms/epoch ({args.edges/dt/1e6:.1f} M edges/s), "
+          f"warmup {warm:.0f}s", file=sys.stderr)
+
+    # --- 2-layer (readout-restricted layer 2) ---
+    try:
+        t0 = time.perf_counter()
+        model2 = TMGCN2(
+            n_slices=args.slices, in_feat=X.shape[-1], hidden_feat=(6, 6, 2),
+            nonlin2="selu",
+        )
+        ad2 = make_edge_adapter(model2, adj, feats, edict, M=M)
+        res["adapter2_build_s"] = round(time.perf_counter() - t0, 1)
+        dt2, warm2 = timed_epochs(ad2, max(args.n_timed // 4, 3))
+        res["two_layer_ms_per_epoch"] = round(dt2 * 1e3, 2)
+        res["two_layer_edges_per_s"] = round(args.edges / dt2)
+        print(f"# 2-layer {dt2*1e3:.2f} ms/epoch, warmup {warm2:.0f}s",
+              file=sys.stderr)
+    except Exception as e:
+        res["two_layer_error"] = str(e)[:300]
+        print(f"# 2-layer failed: {e}", file=sys.stderr)
+
+    Path(args.out).write_text(json.dumps(res, indent=1))
+    print(json.dumps(res))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
