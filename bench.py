@@ -344,9 +344,11 @@ def _load_canonical() -> dict:
 def _record_run(name: str, stats: dict, clean: bool) -> float | None:
     """Append this run to the history; return the canonical best_ms.
 
-    Canonical = min best_ms over runs whose start AND end loadavg were
-    below the threshold (the 1-minute average lags, so both ends must
-    be quiet for the window to count as clean).
+    Canonical = min best_ms over CLEAN runs, where clean = the host was
+    quiet (loadavg <= threshold) when the timing window OPENED and the
+    rounds were tight (median/best <= 1.3). There is deliberately no
+    end-of-run loadavg check — the bench itself drives loadavg toward
+    the core count while running.
     """
     store = _load_canonical()
     entry = store.setdefault(name, {"runs": []})
@@ -647,15 +649,11 @@ def bench_spmm_isolated(data, impl: str) -> dict:
         # Pass the operator through the jit boundary: its multi-GB block
         # tensor must stay an XLA parameter, not a baked constant.
         op_arg = jax.device_put(op)
-        runs = [
-            measure(jax.jit(lambda o, x: chain(o, x)), op_arg, X, iters=2)
-            for _ in range(3)
-        ]
+        fn = jax.jit(lambda o, x: chain(o, x))  # one compile for all runs
+        runs = [measure(fn, op_arg, X, iters=2) for _ in range(3)]
     else:
-        runs = [
-            measure(jax.jit(lambda x: chain(op, x)), X, iters=2)
-            for _ in range(3)
-        ]
+        fn = jax.jit(lambda x: chain(op, x))
+        runs = [measure(fn, X, iters=2) for _ in range(3)]
     dt = min(runs) / n_apply
     spread = (max(runs) - min(runs)) / max(runs)
     cost = spmm_cost(nnz, T * N, F)

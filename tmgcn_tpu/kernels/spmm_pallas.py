@@ -168,21 +168,25 @@ def pack_windowed_flat(
         pass  # fall through to the Python packer
 
     wid_of_entry = g_rows // window
-    # Chunk boundaries: entry count or window change.
+    # Chunk boundaries: entry count or window change. Vectorized over
+    # window segments (the per-entry Python loop cost seconds at LP
+    # edge counts).
     chunks_rows, chunks_cols, chunks_vals, chunk_wid = [], [], [], []
-    start = 0
     P = len(g_rows)
-    while start < P:
-        w = wid_of_entry[start]
-        end = start
-        limit = min(P, start + chunk)
-        while end < limit and wid_of_entry[end] == w:
-            end += 1
-        chunks_rows.append(g_rows[start:end])
-        chunks_cols.append(g_cols[start:end])
-        chunks_vals.append(g_vals[start:end])
-        chunk_wid.append(int(w))
-        start = end
+    seg_bounds = np.concatenate([
+        [0], np.flatnonzero(np.diff(wid_of_entry)) + 1, [P]
+    ]).astype(np.int64) if P else np.zeros(1, np.int64)
+    for i in range(len(seg_bounds) - 1):
+        s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
+        if s == e:
+            continue
+        w = int(wid_of_entry[s])
+        for cs in range(s, e, chunk):
+            ce = min(cs + chunk, e)
+            chunks_rows.append(g_rows[cs:ce])
+            chunks_cols.append(g_cols[cs:ce])
+            chunks_vals.append(g_vals[cs:ce])
+            chunk_wid.append(w)
 
     if all_windows:
         # Ensure every window is touched at least once.

@@ -169,12 +169,9 @@ class WDGCN:
             # contributions and the scan all run with N on the 128-lane
             # axis (results/wdgcn_profile.json: the (T, N, F) layout is
             # the dominant epoch cost at F=6).
+            AXt = AXt.astype(self.dtype)  # reference f32 buffer truncation
             Yt = jax.nn.relu(
-                jnp.einsum(
-                    "fk,tfn->tkn",
-                    p["W"].astype(AXt.dtype),
-                    AXt.astype(self.dtype),
-                )
+                jnp.einsum("fk,tfn->tkn", p["W"].astype(self.dtype), AXt)
             )
             return lstm_scan_t(p["lstm"], b["h_init"], b["c_init"], Yt)
         if AX is None:

@@ -25,6 +25,7 @@ import dataclasses
 import gzip
 import hashlib
 import json
+import os
 import shutil
 import tarfile
 from pathlib import Path
@@ -39,6 +40,7 @@ class FetchSpec:
     member: str | None = None  # member path inside a tar archive
     sha256: str | None = None  # None -> pin on first fetch
     note: str | None = None
+    manual: bool = False  # no canonical download; user generates/places the file
 
 
 MANIFEST: dict[str, FetchSpec] = {
@@ -81,7 +83,7 @@ MANIFEST: dict[str, FetchSpec] = {
     # AMLSim has no stable download: the reference consumed the
     # 1Kvertices-100Kedges run of IBM's simulator (read_data.m:50).
     "amlsim": FetchSpec(
-        "https://github.com/IBM/AMLSim", "plain",
+        "https://github.com/IBM/AMLSim", "plain", manual=True,
         note=(
             "No canonical file: generate transactions.csv with IBM "
             "AMLSim (1Kvertices-100Kedges config) and place it at "
@@ -124,8 +126,8 @@ def fetch(name: str, data_root: str | Path = "data/real",
 
     spec = REGISTRY[name]
     f = MANIFEST[name]
-    if f.note and "github.com/IBM/AMLSim" in f.url:
-        raise RuntimeError(f.note)
+    if f.manual:
+        raise RuntimeError(f.note or f"{name}: manual acquisition only")
     dest_dir = Path(data_root) / name
     dest_dir.mkdir(parents=True, exist_ok=True)
     dest = dest_dir / spec.filename
@@ -133,13 +135,18 @@ def fetch(name: str, data_root: str | Path = "data/real",
         print(f"{name}: {dest} already present")
     else:
         tmp = dest_dir / (spec.filename + ".download")
+        # Extract into a second temp and os.replace only on success: a
+        # crash mid-extraction must never leave a partial file at
+        # ``dest`` (it would read as "already present" and poison the
+        # trust-on-first-use hash pin below).
+        extracted = dest_dir / (spec.filename + ".extract")
         print(f"{name}: fetching {f.url}")
         with urllib.request.urlopen(f.url, timeout=timeout) as r, open(
             tmp, "wb"
         ) as out:
             shutil.copyfileobj(r, out)
         if f.kind == "gz":
-            with gzip.open(tmp, "rb") as src, open(dest, "wb") as out:
+            with gzip.open(tmp, "rb") as src, open(extracted, "wb") as out:
                 shutil.copyfileobj(src, out)
             tmp.unlink()
         elif f.kind == "tar.bz2":
@@ -147,38 +154,48 @@ def fetch(name: str, data_root: str | Path = "data/real",
                 member = tar.extractfile(f.member)
                 if member is None:
                     raise FileNotFoundError(f"{f.member} not in archive")
-                with open(dest, "wb") as out:
+                with open(extracted, "wb") as out:
                     shutil.copyfileobj(member, out)
             tmp.unlink()
         else:
-            tmp.rename(dest)
+            tmp.rename(extracted)
+        os.replace(extracted, dest)
 
     digest = _sha256(dest)
     lock = _load_lock()
     expected = f.sha256 or lock.get(name, {}).get("sha256")
+    if expected is not None and digest != expected:
+        raise RuntimeError(
+            f"{name}: sha256 mismatch — expected {expected}, got {digest}"
+        )
+
+    # Validate shape BEFORE pinning: the file must parse under the
+    # DatasetSpec, so a corrupt-but-complete download never gets its
+    # hash recorded as canonical.
+    from tmgcn_tpu.preprocess.datasets import load_raw
+
+    raw = load_raw(spec, dest_dir)
+    print(f"{name}: parsed ok ({raw.n_slices} slices, {raw.n_nodes} nodes)")
+
     if expected is None:
         lock[name] = {"sha256": digest, "url": f.url, "pinned": "first-fetch"}
         _save_lock(lock)
         print(f"{name}: sha256 {digest} PINNED (trust-on-first-use; "
               "cross-check against the published checksum)")
-    elif digest != expected:
-        raise RuntimeError(
-            f"{name}: sha256 mismatch — expected {expected}, got {digest}"
-        )
     else:
         print(f"{name}: sha256 ok ({digest[:16]}…)")
-
-    # Validate shape: the file must parse under the DatasetSpec.
-    from tmgcn_tpu.preprocess.datasets import load_raw
-
-    raw = load_raw(spec, dest_dir)
-    print(f"{name}: parsed ok ({raw.n_slices} slices, {raw.n_nodes} nodes)")
     return dest
 
 
 def fetch_all(data_root: str | Path = "data/real") -> dict[str, str]:
     out = {}
-    for name in MANIFEST:
+    for name, spec in MANIFEST.items():
+        if spec.manual:
+            # Not a failure: there is nothing to download (e.g. amlsim
+            # is simulator-generated). Report the instructions.
+            out[name] = f"SKIPPED (manual): {spec.note}"
+            print(f"{name}: skipped — {spec.note}")
+            continue
         try:
             out[name] = str(fetch(name, data_root))
         except Exception as e:  # keep going; report at the end

@@ -115,10 +115,14 @@ def _make_steps(
         """Collective-light step: loss/confusion from SHARDED logits."""
 
         def loss_fn(p):
-            loss, aux = adapter.train_stats(
-                {"params": p, "buffers": buffers}, bundle, tgt, cw,
-                logit_transform,
-            )
+            # Same HIGHEST-precision contract as sgd_step (see the note
+            # there): without it the 99-in-100 chunk epochs would
+            # reintroduce the bf16 MXU noise on TPU.
+            with jax.default_matmul_precision("highest"):
+                loss, aux = adapter.train_stats(
+                    {"params": p, "buffers": buffers}, bundle, tgt, cw,
+                    logit_transform,
+                )
             return loss, aux
 
         (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

@@ -18,11 +18,15 @@ Collectives counted (optimized partitioned-readout path, fwd + bwd):
   * 2-layer only: row all-gather over ``graph`` of the layer-1
     activations, (T/t, N, F1) result, (g-1)/g per device — the dominant
     term at scale.
-  * M-mixing halo: h ppermute hops of the (h, N/g, F) shard tail along
-    ``time`` (build-time for the cached layer-1 transform; per-step
-    only with apply_M_twice).
   * gradient psum over the full mesh: 2 bytes moved per param byte
     (ring), replicated params.
+
+NOT counted: the banded M-mixing halo exchange (h ppermute hops of the
+(h, N/g, F) shard tail along ``time``). For every workload modeled here
+it is BUILD-time traffic only — the cached layer-1 transform runs once
+per window, and none of the modeled configs use apply_M_twice (the one
+setting that would add a per-step halo; UCI's M² config would need a
+`m2_halo` term of ~h·N·F1·itemsize/g per step if added).
 
 Backward transposes roughly double forward collective traffic
 (psum <-> broadcast pairs, all-gather <-> reduce-scatter pairs); the

@@ -106,18 +106,21 @@ def main() -> int:
 
         from functools import partial
 
+        # Bundle/targets/buffers pass through the jit boundary as
+        # ARGUMENTS — closure capture would bake the multi-hundred-MB
+        # cached propagation into the HLO as constants (CLAUDE.md
+        # invariant).
         @partial(jax.jit, static_argnames="n")
-        def chunk(params, opt_state, n):
+        def chunk(params, opt_state, bundle, bufs, tgt_d, n):
             def body(carry, _):
                 p, s = carry
 
                 def loss_fn(pp):
                     with jax.default_matmul_precision("highest"):
                         out, _ = adapter.apply(
-                            {"params": pp, "buffers": buffers},
-                            adapter.bundles["train"], (),
+                            {"params": pp, "buffers": bufs}, bundle, ()
                         )
-                    return weighted_cross_entropy(out, tgt, cw)
+                    return weighted_cross_entropy(out, tgt_d, cw)
 
                 loss, g = jax.value_and_grad(loss_fn)(p)
                 u, s = opt.update(g, s)
@@ -128,12 +131,17 @@ def main() -> int:
             )
             return params, opt_state, losses
 
+        bundle = adapter.bundles["train"]
         t0 = time.perf_counter()
-        params, opt_state, losses = chunk(params, opt_state, n_timed)
+        params, opt_state, losses = chunk(
+            params, opt_state, bundle, buffers, tgt, n_timed
+        )
         _ = float(losses.sum())
         compile_and_first = time.perf_counter() - t0
         t0 = time.perf_counter()
-        params, opt_state, losses = chunk(params, opt_state, n_timed)
+        params, opt_state, losses = chunk(
+            params, opt_state, bundle, buffers, tgt, n_timed
+        )
         _ = float(losses.sum())
         dt = (time.perf_counter() - t0) / n_timed
         return dt, compile_and_first

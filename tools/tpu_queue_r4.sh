@@ -1,14 +1,26 @@
 #!/bin/bash
-# Round-4 TPU queue: post-precision-fix ours-side protocol refresh + alpha sweep.
+# Round-4 TPU queue (tunnel-guarded): waits for the device before each
+# leg. Relaunching reruns every leg (results are overwritten in place).
 set -u
 cd /root/repo
 L=results/protocol_chess/logs
-run() { echo "[$(date -u +%H:%M:%S)] $*"; timeout 3600 "$@"; echo "[$(date -u +%H:%M:%S)] rc=$?"; }
-for fam in tmgcn1 tmgcn2 gcn wdgcn evolvegcn; do
+tunnel_wait() {
+  while ! timeout 45 python -c "import jax, jax.numpy as jnp; float(jnp.ones(2).sum())" >/dev/null 2>&1; do
+    echo "[$(date -u +%H:%M:%S)] tunnel down; waiting"
+    sleep 120
+  done
+}
+run() { echo "[$(date -u +%H:%M:%S)] $*"; timeout 2400 "$@"; echo "[$(date -u +%H:%M:%S)] rc=$?"; }
+for fam in wdgcn evolvegcn; do
+  tunnel_wait
   run python tools/protocol_chess.py ours --family $fam --task cls >> $L/tpu_ours_cls.log 2>&1
 done
 for fam in tmgcn1 gcn evolvegcn wdgcn; do
+  tunnel_wait
   run python tools/protocol_chess.py ours --family $fam --task lp >> $L/tpu_ours_lp.log 2>&1
 done
+tunnel_wait
 run python tools/ours_alpha_sweep.py >> $L/tpu_ours_sweep.log 2>&1
+tunnel_wait
+run python tools/bench_models.py >> results/logs/model_bench_r4.log 2>&1
 echo "tpu queue done"
