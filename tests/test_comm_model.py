@@ -61,3 +61,14 @@ def test_trainstep_crossover_at_least_eval():
 def test_mesh_shapes_factorize():
     for g, t in mesh_shapes(12):
         assert g * t == 12
+
+
+def test_m2_halo_counted_only_for_m2_workloads():
+    from tmgcn_tpu.utils.comm_model import UCI_M3
+
+    c = step_comm_bytes(UCI_M3, 1, 4)
+    assert c.get("m2_halo_ppermute_time", 0) > 0
+    assert "m2_halo_ppermute_time" not in step_comm_bytes(CHESS_CLS2, 1, 4)
+    # Graph sharding shrinks the per-device halo rows.
+    c2 = step_comm_bytes(UCI_M3, 2, 4)
+    assert c2["m2_halo_ppermute_time"] < c["m2_halo_ppermute_time"]

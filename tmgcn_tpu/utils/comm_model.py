@@ -20,13 +20,11 @@ Collectives counted (optimized partitioned-readout path, fwd + bwd):
     term at scale.
   * gradient psum over the full mesh: 2 bytes moved per param byte
     (ring), replicated params.
-
-NOT counted: the banded M-mixing halo exchange (h ppermute hops of the
-(h, N/g, F) shard tail along ``time``). For every workload modeled here
-it is BUILD-time traffic only — the cached layer-1 transform runs once
-per window, and none of the modeled configs use apply_M_twice (the one
-setting that would add a per-step halo; UCI's M² config would need a
-`m2_halo` term of ~h·N·F1·itemsize/g per step if added).
+  * apply_M_twice workloads only (``m2_halo`` > 0): the per-step banded
+    M-mixing halo exchange — ``halo`` ppermute hops each moving the
+    (halo, N/g, F1) shard tail along ``time``. For every other workload
+    the banded transform is BUILD-time traffic (the cached layer-1
+    propagation runs once per window) and is excluded.
 
 Backward transposes roughly double forward collective traffic
 (psum <-> broadcast pairs, all-gather <-> reduce-scatter pairs); the
@@ -67,6 +65,9 @@ class Workload:
     nnz: int  # adjacency nonzeros per slice
     two_layer: bool = False
     itemsize: int = 4  # 4 = f32 traffic, 2 = bf16
+    # apply_M_twice (UCI M²/M³ config): per-step banded halo hops along
+    # ``time`` for the layer-2 re-mixing; 0 = no per-step halo.
+    m2_halo: int = 0
 
 
 # The driver-benchmark configs + one deliberately scaled-up setting.
@@ -79,7 +80,13 @@ SCALED = Workload(
     "scaled_1M_nodes", 128, 1_000_000, 32, 64, 2, 20_000_000, 200_000,
     two_layer=True, itemsize=2,
 )
-WORKLOADS = [CHESS_CLS, CHESS_CLS2, CHESS_LP, SCALED]
+# UCI's unique apply_M_twice + apply_M_three_times config
+# (experiment_uci_our_link_prediction.py:69): per-step banded halo.
+UCI_M3 = Workload(
+    "uci_m3_lp", 61, 500, 2, 6, 2, 300_000, 1_200,
+    two_layer=True, m2_halo=19,
+)
+WORKLOADS = [CHESS_CLS, CHESS_CLS2, CHESS_LP, SCALED, UCI_M3]
 
 
 def ring_all_reduce_bytes(buf: int, n: int) -> float:
@@ -121,6 +128,14 @@ def step_comm_bytes(w: Workload, g: int, t: int, train_only: bool = False) -> di
     if w.two_layer:
         out["row_allgather_graph"] = all_gather_bytes(
             (w.T / max(t, 1)) * w.N * w.F1 * it, g
+        )
+    if w.m2_halo and t > 1:
+        # apply_M_twice: per-step banded re-mixing — each halo hop is a
+        # ppermute of the (halo, N/g, F1) shard tail (parallel/halo.py);
+        # two mixings per step in the M³ config are both counted by the
+        # caller's m2_halo (already summed hops).
+        out["m2_halo_ppermute_time"] = (
+            w.m2_halo * w.N / max(g, 1) * w.F1 * it
         )
     # Backward transposes: psum <-> broadcast, all-gather <-> reduce-
     # scatter move the same bytes again.
