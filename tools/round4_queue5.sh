@@ -2,7 +2,7 @@
 # After queue4: tmgcn2 cls init-seed brackets (bimodal class-0 basin).
 set -u
 cd /root/repo
-while kill -0 13766 2>/dev/null; do sleep 120; done
+while kill -0 16869 2>/dev/null; do sleep 120; done
 tunnel_wait() {
   while ! timeout 45 python -c "import jax, jax.numpy as jnp; float(jnp.ones(2).sum())" >/dev/null 2>&1; do sleep 120; done
 }

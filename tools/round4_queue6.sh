@@ -1,7 +1,7 @@
 #!/bin/bash
 set -u
 cd /root/repo
-while kill -0 15949 2>/dev/null; do sleep 120; done
+while kill -0 16934 2>/dev/null; do sleep 120; done
 tunnel_wait() {
   while ! timeout 45 python -c "import jax, jax.numpy as jnp; float(jnp.ones(2).sum())" >/dev/null 2>&1; do sleep 120; done
 }
