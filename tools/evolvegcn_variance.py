@@ -22,11 +22,13 @@ def main() -> int:
     rows = []
     for f in sorted(glob.glob(str(REPO / "results/protocol_chess/ours_evolvegcn_cls*.json"))):
         d = json.loads(Path(f).read_text())
-        rows.append(("ours", f"seed {d.get('seed', 0)}", d))
+        suffix = Path(f).stem.removeprefix("ours_evolvegcn_cls")
+        tag = suffix.strip("_") or "round-3 run (pre-precision-fix)"
+        rows.append(("ours", tag, d))
     for f in sorted(glob.glob(str(REPO / "results/protocol_chess/ref_evolvegcn_cls*.json"))):
         d = json.loads(Path(f).read_text())
-        tag = Path(f).stem.replace("ref_evolvegcn_cls", "run") or "run0"
-        rows.append(("reference", tag.strip("_") or "run0", d))
+        suffix = Path(f).stem.removeprefix("ref_evolvegcn_cls")
+        rows.append(("reference", suffix.strip("_") or "r0", d))
 
     def fmt(x):
         return "nan" if x != x else f"{x:.3f}"
