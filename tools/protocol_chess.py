@@ -532,6 +532,12 @@ def print_table() -> dict:
         if p.name == "table.json":
             continue
         d = json.loads(p.read_text())
+        side = "ref" if d["side"] == "reference" else d["side"]
+        # Variant artifacts (alpha-sweep legs _aNN, seed repeats _sN,
+        # ref repeats _rN) share the same task/family fields; only the
+        # canonical leg feeds the table.
+        if p.stem != f"{side}_{d['family']}_{d['task']}":
+            continue
         rows[(d["task"], d["family"], d["side"])] = d
 
     out = {"cls": [], "lp": []}
