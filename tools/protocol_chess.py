@@ -538,7 +538,7 @@ def print_table() -> dict:
         # canonical leg feeds the table.
         if p.stem != f"{side}_{d['family']}_{d['task']}":
             continue
-        rows[(d["task"], d["family"], d["side"])] = d
+        rows[(d["task"], d["family"], side)] = d
 
     out = {"cls": [], "lp": []}
     fams_cls = ["tmgcn1", "tmgcn2", "gcn", "evolvegcn", "wdgcn"]
