@@ -65,3 +65,42 @@ def test_manifest_covers_every_external_dataset():
         assert spec.url.startswith("http")
         if spec.kind == "tar.bz2":
             assert spec.member
+
+
+def test_partial_extraction_cannot_poison_pin(manifest_env, monkeypatch):
+    """A crash mid-extraction leaves no file at dest (temp + os.replace),
+    and a corrupt-but-complete file fails parse validation BEFORE its
+    hash is pinned."""
+    import shutil as _shutil
+
+    tmp_path, _ = manifest_env
+
+    # 1) Simulate a crash during gz extraction: copyfileobj raises.
+    def boom(*a, **k):
+        raise OSError("simulated truncation")
+
+    calls = {"n": 0}
+    real = _shutil.copyfileobj
+
+    def flaky(src, dst, *a, **k):
+        calls["n"] += 1
+        if calls["n"] == 2:  # first call downloads, second extracts
+            raise OSError("simulated truncation")
+        return real(src, dst, *a, **k)
+
+    monkeypatch.setattr(F.shutil, "copyfileobj", flaky)
+    with pytest.raises(OSError):
+        F.fetch("bitcoin_otc", tmp_path / "real")
+    monkeypatch.setattr(F.shutil, "copyfileobj", real)
+
+    dest = tmp_path / "real/bitcoin_otc/soc-sign-bitcoinotc.csv"
+    assert not dest.exists()  # no partial file at the final name
+    assert not (tmp_path / "MANIFEST.lock.json").exists()  # nothing pinned
+
+    # 2) A corrupt file that parses as garbage must not get pinned.
+    dest.parent.mkdir(parents=True, exist_ok=True)
+    dest.write_text("not,a,valid\nedge,list,at,all\n")
+    with pytest.raises(Exception):
+        F.fetch("bitcoin_otc", tmp_path / "real")
+    lock = F._load_lock()
+    assert "bitcoin_otc" not in lock
