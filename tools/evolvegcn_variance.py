@@ -23,7 +23,7 @@ def main() -> int:
     for f in sorted(glob.glob(str(REPO / "results/protocol_chess/ours_evolvegcn_cls*.json"))):
         d = json.loads(Path(f).read_text())
         suffix = Path(f).stem.removeprefix("ours_evolvegcn_cls")
-        tag = suffix.strip("_") or "round-3 run (pre-precision-fix)"
+        tag = suffix.strip("_") or "canonical (TPU, post-precision-fix)"
         rows.append(("ours", tag, d))
     for f in sorted(glob.glob(str(REPO / "results/protocol_chess/ref_evolvegcn_cls*.json"))):
         d = json.loads(Path(f).read_text())
