@@ -226,7 +226,20 @@ def _prepare_bundles(
     spmm_operator: str | None = None,
 ) -> dict[str, dict]:
     bundles = {}
+    # Windows that share the SAME adjacency/features/edges objects
+    # (common in benchmarks: {w: A for w in WINDOWS}) get ONE device
+    # copy — device_put of identical host arrays three times would
+    # triple device memory (the 300k-node scale-bench OOM).
+    seen: dict[tuple, str] = {}
     for w in WINDOWS:
+        key = (
+            id(adj[w]), id(feats[w]),
+            id(edges[w]) if edges is not None else None,
+        )
+        if key in seen:
+            bundles[w] = bundles[seen[key]]
+            continue
+        seen[key] = w
         A, X = adj[w], np.asarray(feats[w])
         if drop_last_slice:
             A = A.slice_window(0, A.n_slices - 1)
@@ -292,6 +305,16 @@ def _prepare_bundles(
     return bundles
 
 
+def _unique_bundles(bundles: dict[str, dict]):
+    """Each distinct bundle dict once (windows may share one, see
+    _prepare_bundles dedupe) — cache fills must not run 3x on it."""
+    seen: set[int] = set()
+    for b in bundles.values():
+        if id(b) not in seen:
+            seen.add(id(b))
+            yield b
+
+
 def make_edge_adapter(
     model,
     adj: dict[str, TemporalCOO],
@@ -336,7 +359,7 @@ def make_edge_adapter(
         # Cache the parameter-independent first-layer propagation, as the
         # reference does at model init (embedding_help_functions.py:195):
         # training epochs then run no SpMM at all for 1-layer TM-GCN.
-        for b in bundles.values():
+        for b in _unique_bundles(bundles):
             b["cached"] = model.propagate(b["adj"], b["X"], b["M"])
 
         # Gather-free fast path for 1-layer condensed TM-GCN (the config
@@ -345,7 +368,7 @@ def make_edge_adapter(
         # precomputed once and a training epoch is pure matmul — no
         # gather in the forward, no scatter in the backward.
         if isinstance(model, TMGCN) and model.condensed_W and not model.use_Minv:
-            for b in bundles.values():
+            for b in _unique_bundles(bundles):
                 _cache_edge_rows(b, model.dtype)
 
             def apply(variables, bundle, carry):
@@ -406,11 +429,11 @@ def make_edge_adapter(
         return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
     if isinstance(model, (KWGCN, WDGCN)):
-        for b in bundles.values():
+        for b in _unique_bundles(bundles):
             b["cached"] = model.propagate(b["adj"], b["X"])
 
         if isinstance(model, KWGCN) and model.n_layers == 1:
-            for b in bundles.values():
+            for b in _unique_bundles(bundles):
                 _cache_edge_rows(b, model.dtype)
 
             def apply(variables, bundle, carry):
@@ -423,7 +446,7 @@ def make_edge_adapter(
         if isinstance(model, WDGCN):
             # Transposed (T, F0, N) cache: the whole WD-GCN forward then
             # runs lane-major (see models/wdgcn.lstm_scan_t).
-            for b in bundles.values():
+            for b in _unique_bundles(bundles):
                 b["cached_t"] = jnp.swapaxes(b["cached"], 1, 2)
 
             def apply(variables, bundle, carry):
@@ -456,7 +479,7 @@ def make_edge_adapter(
         # Layer-1 propagation is parameter-independent: cache A@X so the
         # evolved-weight scan keeps only parameter-dependent SpMMs
         # (none for 1-layer; layer-2 only for 2-layer).
-        for b in bundles.values():
+        for b in _unique_bundles(bundles):
             b["cached_ax"] = model.propagate(b["adj"], b["X"])
 
         onehot_bytes = max(
@@ -657,7 +680,7 @@ def make_regression_adapter(
     )
 
     if isinstance(model, TMGCNReg):
-        for b in bundles.values():
+        for b in _unique_bundles(bundles):
             b["cached"] = model.propagate(b["adj"], b["X"], b["M"])
 
         def apply(variables, bundle, carry):
@@ -671,7 +694,7 @@ def make_regression_adapter(
     elif isinstance(model, EvolveGCNReg):
         # Cache the parameter-independent A@X (as the classifier adapter
         # does) so the evolved-weight scan runs no SpMM.
-        for b in bundles.values():
+        for b in _unique_bundles(bundles):
             b["cached_ax"] = model.propagate(b["adj"], b["X"])
 
         def apply(variables, bundle, carry):
