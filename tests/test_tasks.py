@@ -208,3 +208,93 @@ class TestEndToEndRegression:
         result, _ = run_regression(adapter, targets, cfg)
         assert len(result["train_loss"]) == 5
         assert np.isfinite(result["val_l1"]) and np.isfinite(result["test_l1_ratio"])
+
+
+class TestBundleDedupe:
+    """Identity-equal windows share ONE bundle (device-memory dedupe)."""
+
+    def _problem(self):
+        import numpy as np
+
+        from tmgcn_tpu.core.mmatrix import make_m_matrix
+        from tmgcn_tpu.core.sparse import TemporalCOO
+
+        rng = np.random.default_rng(0)
+        T, N = 6, 40
+        dense = (rng.random((T, N, N)) < 0.1) * rng.random((T, N, N))
+        A = TemporalCOO.from_dense(dense, pad_multiple=8)
+        M = make_m_matrix(T, 3).astype(np.float32)
+        X = rng.standard_normal((T, N, 3)).astype(np.float32)
+        E = 60
+        edges = np.stack(
+            [rng.integers(0, T, E), rng.integers(0, N, E), rng.integers(0, N, E)]
+        )
+        return A, M, X, edges
+
+    def test_shared_windows_share_bundles(self):
+        import jax
+
+        from tmgcn_tpu.models.tmgcn import TMGCN
+        from tmgcn_tpu.tasks.adapters import make_edge_adapter
+
+        A, M, X, edges = self._problem()
+        model = TMGCN(n_slices=A.n_slices, in_feat=3, hidden_feat=(4, 2))
+        ad = make_edge_adapter(
+            model,
+            {w: A for w in ("train", "val", "test")},
+            {w: X for w in ("train", "val", "test")},
+            {w: edges for w in ("train", "val", "test")},
+            M=M,
+        )
+        assert ad.bundles["train"] is ad.bundles["val"] is ad.bundles["test"]
+        out, _ = ad.apply(ad.init(jax.random.PRNGKey(0)), ad.bundles["val"], ())
+        assert out.shape[0] == edges.shape[1]
+
+    def test_distinct_windows_stay_distinct(self):
+        import numpy as np
+
+        from tmgcn_tpu.models.tmgcn import TMGCN2
+        from tmgcn_tpu.tasks.adapters import make_edge_adapter
+
+        A, M, X, edges = self._problem()
+        # Distinct objects (equal content) must NOT be merged: identity,
+        # not equality, is the dedupe key.
+        model = TMGCN2(
+            n_slices=A.n_slices, in_feat=3, hidden_feat=(4, 4, 2), nonlin2="selu"
+        )
+        feats = {w: X.copy() for w in ("train", "val", "test")}
+        ad = make_edge_adapter(
+            model,
+            {w: A for w in ("train", "val", "test")},
+            feats,
+            {w: np.array(edges) for w in ("train", "val", "test")},
+            M=M,
+        )
+        assert ad.bundles["train"] is not ad.bundles["val"]
+        # Restricted layer-2 build ran per distinct bundle.
+        assert "l2op" in ad.bundles["train"] and "l2op" in ad.bundles["val"]
+
+    def test_shared_windows_restricted2_and_evolvegcn(self):
+        import jax
+
+        from tmgcn_tpu.models.evolvegcn import EvolveGCN
+        from tmgcn_tpu.models.tmgcn import TMGCN2
+        from tmgcn_tpu.tasks.adapters import make_edge_adapter
+
+        A, M, X, edges = self._problem()
+        shared_adj = {w: A for w in ("train", "val", "test")}
+        shared_x = {w: X for w in ("train", "val", "test")}
+        shared_e = {w: edges for w in ("train", "val", "test")}
+        for model in (
+            TMGCN2(n_slices=A.n_slices, in_feat=3, hidden_feat=(4, 4, 2),
+                   nonlin2="selu"),
+            EvolveGCN(n_slices=A.n_slices, in_feat=3, hidden_feat=(4, 2)),
+            EvolveGCN(n_slices=A.n_slices, in_feat=3, hidden_feat=(4, 4, 2)),
+        ):
+            ad = make_edge_adapter(model, shared_adj, shared_x, shared_e, M=M)
+            assert ad.bundles["train"] is ad.bundles["test"]
+            variables = ad.init(jax.random.PRNGKey(0))
+            out, carry = ad.apply(variables, ad.bundles["train"], ())
+            out2, _ = ad.apply(variables, ad.bundles["test"], carry)
+            assert out.shape[0] == edges.shape[1]
+            assert out2.shape[0] == edges.shape[1]

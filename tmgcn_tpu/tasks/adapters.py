@@ -386,7 +386,13 @@ def make_edge_adapter(
             # spmm_impl picks the restricted operator; "jnp" = auto.
             from tmgcn_tpu.models.common import nonlinearity
 
+            done: set[int] = set()
             for w in WINDOWS:
+                # Shared (deduped) bundles imply identical adj/edges —
+                # build the restricted operator once per distinct bundle.
+                if id(bundles[w]) in done:
+                    continue
+                done.add(id(bundles[w]))
                 _build_restricted_layer2(
                     bundles[w], adj[w], np.asarray(edges[w]), drop_last_slice,
                     operator=impl if impl in OPERATOR_IMPLS else "auto",
@@ -505,8 +511,12 @@ def make_edge_adapter(
             # scatters. Skipped when store_dtype != dtype (the
             # reference's f32-buffer truncation happens between the W
             # and U contractions and cannot commute).
+            done: set[int] = set()
             for w in WINDOWS:
                 b = bundles[w]
+                if id(b) in done:  # deduped shared window
+                    continue
+                done.add(id(b))
                 ax = b["cached_ax"]
                 T_, N_, F0_ = ax.shape
                 e = np.asarray(edges[w], np.int64)
@@ -574,8 +584,13 @@ def make_edge_adapter(
             # summaries score all N nodes (evolvegcn_functions.py:180-188).
             from tmgcn_tpu.models.evolvegcn import evolve_weight_stack
 
+            built: dict[int, dict] = {}
             for w in WINDOWS:
                 b = bundles[w]
+                if id(b) in built:  # deduped shared window
+                    bundles[w] = built[id(b)]
+                    continue
+                key = id(b)
                 uniq, used = _build_restricted_layer2(
                     b, adj[w], np.asarray(edges[w]), drop_last_slice,
                     operator="auto", cached_key="cached_ax",
@@ -587,7 +602,9 @@ def make_edge_adapter(
                     oh = np.zeros((T_, len(keys)), np.float32)
                     oh[keys // N_, np.arange(len(keys))] = 1.0
                     b[f"l2_{name}_ohT"] = jax.device_put(jnp.asarray(oh))
-                b = bundles[w] = jax.device_put(b)
+                # device_put re-creates the dict: point every window that
+                # shared the host dict at the SAME device copy.
+                built[key] = bundles[w] = jax.device_put(b)
 
             def apply(variables, bundle, carry):
                 p = variables["params"]

@@ -21,10 +21,12 @@ Collectives counted (optimized partitioned-readout path, fwd + bwd):
   * gradient psum over the full mesh: 2 bytes moved per param byte
     (ring), replicated params.
   * apply_M_twice workloads only (``m2_halo`` > 0): the per-step banded
-    M-mixing halo exchange — ``halo`` ppermute hops each moving the
-    (halo, N/g, F1) shard tail along ``time``. For every other workload
-    the banded transform is BUILD-time traffic (the cached layer-1
-    propagation runs once per window) and is excluded.
+    M-mixing halo exchanges along ``time``. Each mixing moves a TOTAL of
+    ``halo`` (N/g, F1) slices (across ceil(halo/T_loc) ppermute hops —
+    parallel/halo.py); ``m2_halo`` is the summed slice count over all
+    per-step mixings (UCI M³: two mixings x band-19 = 38). For every
+    other workload the banded transform is BUILD-time traffic (the
+    cached layer-1 propagation runs once per window) and is excluded.
 
 Backward transposes roughly double forward collective traffic
 (psum <-> broadcast pairs, all-gather <-> reduce-scatter pairs); the
@@ -81,10 +83,11 @@ SCALED = Workload(
     two_layer=True, itemsize=2,
 )
 # UCI's unique apply_M_twice + apply_M_three_times config
-# (experiment_uci_our_link_prediction.py:69): per-step banded halo.
+# (experiment_uci_our_link_prediction.py:69): TWO per-step banded
+# mixings (models/tmgcn.py:124-128) at band 19 each -> 38 summed slices.
 UCI_M3 = Workload(
     "uci_m3_lp", 61, 500, 2, 6, 2, 300_000, 1_200,
-    two_layer=True, m2_halo=19,
+    two_layer=True, m2_halo=38,
 )
 WORKLOADS = [CHESS_CLS, CHESS_CLS2, CHESS_LP, SCALED, UCI_M3]
 
@@ -130,10 +133,9 @@ def step_comm_bytes(w: Workload, g: int, t: int, train_only: bool = False) -> di
             (w.T / max(t, 1)) * w.N * w.F1 * it, g
         )
     if w.m2_halo and t > 1:
-        # apply_M_twice: per-step banded re-mixing — each halo hop is a
-        # ppermute of the (halo, N/g, F1) shard tail (parallel/halo.py);
-        # two mixings per step in the M³ config are both counted by the
-        # caller's m2_halo (already summed hops).
+        # Per-step banded re-mixing: m2_halo = total (N/g, F1) slices
+        # moved per step, summed over the config's mixings (see the
+        # module docstring).
         out["m2_halo_ppermute_time"] = (
             w.m2_halo * w.N / max(g, 1) * w.F1 * it
         )
