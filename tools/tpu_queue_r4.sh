@@ -1,16 +1,16 @@
 #!/bin/bash
-# Round-4 TPU queue (tunnel-guarded): waits for the device before each
-# leg. Relaunching reruns every leg (results are overwritten in place).
 set -u
 cd /root/repo
 L=results/protocol_chess/logs
 tunnel_wait() {
   while ! timeout 45 python -c "import jax, jax.numpy as jnp; float(jnp.ones(2).sum())" >/dev/null 2>&1; do
-    echo "[$(date -u +%H:%M:%S)] tunnel down; waiting"
     sleep 120
   done
 }
 run() { echo "[$(date -u +%H:%M:%S)] $*"; timeout 2400 "$@"; echo "[$(date -u +%H:%M:%S)] rc=$?"; }
+tunnel_wait
+# FIRST: on-chip correctness of the sparse-window readout backward.
+run python tools/check_readout_tpu.py
 for fam in wdgcn evolvegcn; do
   tunnel_wait
   run python tools/protocol_chess.py ours --family $fam --task cls >> $L/tpu_ours_cls.log 2>&1
