@@ -91,7 +91,7 @@ def main() -> int:
     ok = sum(r["ok"] for r in rows)
     out_dir = Path(args.out)
     out_dir.mkdir(exist_ok=True)
-    (out_dir / "preset_sweep_r2.json").write_text(json.dumps(rows, indent=1))
+    (out_dir / "preset_sweep.json").write_text(json.dumps(rows, indent=1))
     summary = [
         f"preset sweep: {ok}/{len(rows)} ok, epochs={args.epochs}, "
         f"backend={jax.default_backend()}"
