@@ -95,12 +95,14 @@ def main() -> int:
     opt = optax.sgd(0.01, momentum=0.9)
     opt_state = opt.init(params)
 
+    # Bundle through the jit boundary as an ARGUMENT (CLAUDE.md
+    # invariant — closure capture bakes the multi-GB shards as
+    # constants).
     @jax.jit
-    def step(p, s):
+    def step(p, s, bundle, bufs, tgt_d):
         def loss_fn(pp):
             loss, aux = adapter.train_stats(
-                {"params": pp, "buffers": buffers},
-                adapter.bundles["train"], tgt, cw, None,
+                {"params": pp, "buffers": bufs}, bundle, tgt_d, cw, None,
             )
             return loss, aux
 
@@ -108,12 +110,13 @@ def main() -> int:
         u, s = opt.update(grads, s)
         return optax.apply_updates(p, u), s, loss
 
+    bundle = adapter.bundles["train"]
     t0 = time.perf_counter()
-    params, opt_state, loss = step(params, opt_state)
+    params, opt_state, loss = step(params, opt_state, bundle, buffers, tgt)
     l0 = float(loss)
     res["first_step_s"] = round(time.perf_counter() - t0, 1)
     t0 = time.perf_counter()
-    params, opt_state, loss = step(params, opt_state)
+    params, opt_state, loss = step(params, opt_state, bundle, buffers, tgt)
     l1 = float(loss)
     res["second_step_s"] = round(time.perf_counter() - t0, 1)
     res["losses"] = [round(l0, 5), round(l1, 5)]
