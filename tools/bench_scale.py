@@ -58,6 +58,10 @@ def main() -> int:
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--band", type=int, default=20)
     ap.add_argument("--n-timed", type=int, default=20)
+    ap.add_argument(
+        "--families", default="tmgcn1,tmgcn2",
+        help="comma list of tmgcn1,tmgcn2,evolvegcn,wdgcn",
+    )
     ap.add_argument("--out", default="results/scale_bench.json")
     args = ap.parse_args()
 
@@ -149,35 +153,48 @@ def main() -> int:
         dt = (time.perf_counter() - t0) / n_timed
         return dt, compile_and_first
 
-    # --- 1-layer (cached-propagation path) ---
-    t0 = time.perf_counter()
-    model1 = TMGCN(n_slices=args.slices, in_feat=X.shape[-1], hidden_feat=(6, 2))
-    ad1 = make_edge_adapter(model1, adj, feats, edict, M=M)
-    res["adapter1_build_s"] = round(time.perf_counter() - t0, 1)
-    dt, warm = timed_epochs(ad1, args.n_timed)
-    res["one_layer_ms_per_epoch"] = round(dt * 1e3, 2)
-    res["one_layer_edges_per_s"] = round(args.edges / dt)
-    print(f"# 1-layer {dt*1e3:.2f} ms/epoch ({args.edges/dt/1e6:.1f} M edges/s), "
-          f"warmup {warm:.0f}s", file=sys.stderr)
-    del ad1  # free the 1-layer adapter's device buffers before building 2-layer
+    from tmgcn_tpu.models.evolvegcn import EvolveGCN
+    from tmgcn_tpu.models.wdgcn import WDGCN
 
-    # --- 2-layer (readout-restricted layer 2) ---
-    try:
-        t0 = time.perf_counter()
-        model2 = TMGCN2(
-            n_slices=args.slices, in_feat=X.shape[-1], hidden_feat=(6, 6, 2),
-            nonlin2="selu",
-        )
-        ad2 = make_edge_adapter(model2, adj, feats, edict, M=M)
-        res["adapter2_build_s"] = round(time.perf_counter() - t0, 1)
-        dt2, warm2 = timed_epochs(ad2, max(args.n_timed // 4, 3))
-        res["two_layer_ms_per_epoch"] = round(dt2 * 1e3, 2)
-        res["two_layer_edges_per_s"] = round(args.edges / dt2)
-        print(f"# 2-layer {dt2*1e3:.2f} ms/epoch, warmup {warm2:.0f}s",
-              file=sys.stderr)
-    except Exception as e:
-        res["two_layer_error"] = str(e)[:300]
-        print(f"# 2-layer failed: {e}", file=sys.stderr)
+    def build_model(fam):
+        f_in = X.shape[-1]
+        if fam == "tmgcn1":
+            return TMGCN(n_slices=args.slices, in_feat=f_in, hidden_feat=(6, 2)), M
+        if fam == "tmgcn2":
+            return (
+                TMGCN2(n_slices=args.slices, in_feat=f_in,
+                       hidden_feat=(6, 6, 2), nonlin2="selu"),
+                M,
+            )
+        if fam == "evolvegcn":
+            return EvolveGCN(n_slices=args.slices, in_feat=f_in,
+                             hidden_feat=(6, 2)), None
+        if fam == "wdgcn":
+            return WDGCN(n_slices=args.slices, in_feat=f_in,
+                         hidden_feat=(6, 2)), None
+        raise KeyError(fam)
+
+    names = {"tmgcn1": "one_layer", "tmgcn2": "two_layer",
+             "evolvegcn": "evolvegcn", "wdgcn": "wdgcn"}
+    for fam in args.families.split(","):
+        fam = fam.strip()
+        key = names[fam]
+        try:
+            t0 = time.perf_counter()
+            model, Mw = build_model(fam)
+            ad = make_edge_adapter(model, adj, feats, edict, M=Mw)
+            res[f"{key}_build_s"] = round(time.perf_counter() - t0, 1)
+            n = args.n_timed if fam == "tmgcn1" else max(args.n_timed // 4, 3)
+            dt, warm = timed_epochs(ad, n)
+            res[f"{key}_ms_per_epoch"] = round(dt * 1e3, 2)
+            res[f"{key}_edges_per_s"] = round(args.edges / dt)
+            print(f"# {fam} {dt*1e3:.2f} ms/epoch "
+                  f"({args.edges/dt/1e6:.1f} M edges/s), warmup {warm:.0f}s",
+                  file=sys.stderr)
+            del ad  # free device buffers before the next family
+        except Exception as e:
+            res[f"{key}_error"] = str(e)[:300]
+            print(f"# {fam} failed: {e}", file=sys.stderr)
 
     Path(args.out).write_text(json.dumps(res, indent=1))
     print(json.dumps(res))
