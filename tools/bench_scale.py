@@ -50,6 +50,26 @@ def build_graph(n_nodes: int, n_slices: int, nnz_per_slice: int, seed: int = 0):
     return TemporalCOO.from_slices(slices, n_nodes, dtype=np.float32)
 
 
+def build_inputs(n_nodes, n_slices, nnz_per_slice, n_edges, band, seed=1):
+    """Shared synthetic workload for the scale benches (single-chip AND
+    sharded demo must measure the identical inputs)."""
+    from tmgcn_tpu.core.mmatrix import make_m_matrix as _mk
+    from tmgcn_tpu.ops.degree import degree_features_np as _deg
+
+    A = build_graph(n_nodes, n_slices, nnz_per_slice)
+    M = _mk(n_slices, band).astype(np.float32)
+    X = _deg(A).astype(np.float32)
+    rng = np.random.default_rng(seed)
+    edges = np.stack([
+        rng.integers(0, n_slices, n_edges),
+        rng.integers(0, n_nodes, n_edges),
+        rng.integers(0, n_nodes, n_edges),
+    ]).astype(np.int64)
+    tgt = rng.integers(0, 2, n_edges)
+    cw = np.array([0.9, 0.1], np.float32)
+    return A, M, X, edges, tgt, cw
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--nodes", type=int, default=500_000)
@@ -69,10 +89,7 @@ def main() -> int:
     import jax.numpy as jnp
     import optax
 
-    from tmgcn_tpu.core.mmatrix import make_m_matrix
     from tmgcn_tpu.models.tmgcn import TMGCN, TMGCN2
-    from tmgcn_tpu.ops.degree import degree_features_np
-    from tmgcn_tpu.ops.mtransform import m_transform_coo
     from tmgcn_tpu.tasks.adapters import make_edge_adapter
     from tmgcn_tpu.train.losses import weighted_cross_entropy
 
@@ -82,17 +99,11 @@ def main() -> int:
         "backend": jax.default_backend(),
     }
     t0 = time.perf_counter()
-    A = build_graph(args.nodes, args.slices, args.nnz_per_slice)
-    M = make_m_matrix(args.slices, args.band).astype(np.float32)
-    X = degree_features_np(A).astype(np.float32)
-    rng = np.random.default_rng(1)
-    edges = np.stack([
-        rng.integers(0, args.slices, args.edges),
-        rng.integers(0, args.nodes, args.edges),
-        rng.integers(0, args.nodes, args.edges),
-    ]).astype(np.int64)
-    tgt = jnp.asarray(rng.integers(0, 2, args.edges))
-    cw = jnp.asarray(np.array([0.9, 0.1], np.float32))
+    A, M, X, edges, tgt_np, cw_np = build_inputs(
+        args.nodes, args.slices, args.nnz_per_slice, args.edges, args.band
+    )
+    tgt = jnp.asarray(tgt_np)
+    cw = jnp.asarray(cw_np)
     res["build_host_s"] = round(time.perf_counter() - t0, 1)
     print(f"# built: {A.n_slices}x{A.n_nodes}, "
           f"{int(np.asarray(A.nnz).sum())} nnz, host {res['build_host_s']}s",
@@ -178,7 +189,10 @@ def main() -> int:
              "evolvegcn": "evolvegcn", "wdgcn": "wdgcn"}
     for fam in args.families.split(","):
         fam = fam.strip()
-        key = names[fam]
+        if not fam:
+            continue
+        key = names.get(fam, fam)
+        ad = None
         try:
             t0 = time.perf_counter()
             model, Mw = build_model(fam)
@@ -191,10 +205,11 @@ def main() -> int:
             print(f"# {fam} {dt*1e3:.2f} ms/epoch "
                   f"({args.edges/dt/1e6:.1f} M edges/s), warmup {warm:.0f}s",
                   file=sys.stderr)
-            del ad  # free device buffers before the next family
         except Exception as e:
             res[f"{key}_error"] = str(e)[:300]
             print(f"# {fam} failed: {e}", file=sys.stderr)
+        finally:
+            del ad  # free device buffers even when a family fails
 
     Path(args.out).write_text(json.dumps(res, indent=1))
     print(json.dumps(res))

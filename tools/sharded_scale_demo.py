@@ -43,13 +43,10 @@ def main() -> int:
     import jax.numpy as jnp
     import optax
 
-    from tmgcn_tpu.core.mmatrix import make_m_matrix
     from tmgcn_tpu.models.tmgcn import TMGCN2
-    from tmgcn_tpu.ops.degree import degree_features_np
     from tmgcn_tpu.parallel.adapter import make_sharded_edge_adapter
     from tmgcn_tpu.parallel.mesh import make_mesh
-    from tmgcn_tpu.train.losses import weighted_cross_entropy
-    from tools.bench_scale import build_graph
+    from tools.bench_scale import build_inputs
 
     g, t = (int(x) for x in args.mesh.split("x"))
     res = {
@@ -59,17 +56,11 @@ def main() -> int:
         "backend": jax.default_backend(),
     }
     t0 = time.perf_counter()
-    A = build_graph(args.nodes, args.slices, args.nnz_per_slice)
-    M = make_m_matrix(args.slices, args.band).astype(np.float32)
-    X = degree_features_np(A).astype(np.float32)
-    rng = np.random.default_rng(1)
-    edges = np.stack([
-        rng.integers(0, args.slices, args.edges),
-        rng.integers(0, args.nodes, args.edges),
-        rng.integers(0, args.nodes, args.edges),
-    ]).astype(np.int64)
-    tgt = jnp.asarray(rng.integers(0, 2, args.edges))
-    cw = jnp.asarray(np.array([0.9, 0.1], np.float32))
+    A, M, X, edges, tgt_np, cw_np = build_inputs(
+        args.nodes, args.slices, args.nnz_per_slice, args.edges, args.band
+    )
+    tgt = jnp.asarray(tgt_np)
+    cw = jnp.asarray(cw_np)
     res["build_host_s"] = round(time.perf_counter() - t0, 1)
     print(f"# built ({res['build_host_s']}s); sharding over {args.mesh}",
           file=sys.stderr)
@@ -92,7 +83,11 @@ def main() -> int:
 
     variables = adapter.init(jax.random.PRNGKey(0))
     params, buffers = variables["params"], variables["buffers"]
-    opt = optax.sgd(0.01, momentum=0.9)
+    # lr 1e-6, no momentum: the unnormalized power-law graph has raw
+    # degree features up to ~1e4; the feasibility claim (the step
+    # executes and losses stay finite/decreasing) must not sit one
+    # SGD step from overflow.
+    opt = optax.sgd(1e-6)
     opt_state = opt.init(params)
 
     # Bundle through the jit boundary as an ARGUMENT (CLAUDE.md

@@ -9,8 +9,12 @@ tunnel_wait() {
 }
 run() { echo "[$(date -u +%H:%M:%S)] $*"; timeout 2400 "$@"; echo "[$(date -u +%H:%M:%S)] rc=$?"; }
 tunnel_wait
-# FIRST: on-chip correctness of the sparse-window readout backward.
-run python tools/check_readout_tpu.py
+# FIRST: on-chip correctness of the sparse-window readout backward —
+# a failure here means every downstream training leg would record
+# numbers from a broken backward, so it GATES the queue.
+if ! timeout 2400 python tools/check_readout_tpu.py; then
+  echo "readout check FAILED; aborting queue"; exit 1
+fi
 for fam in wdgcn evolvegcn; do
   tunnel_wait
   run python tools/protocol_chess.py ours --family $fam --task cls >> $L/tpu_ours_cls.log 2>&1
