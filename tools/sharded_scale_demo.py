@@ -84,9 +84,11 @@ def main() -> int:
     variables = adapter.init(jax.random.PRNGKey(0))
     params, buffers = variables["params"], variables["buffers"]
     # lr 1e-6, no momentum: the unnormalized power-law graph has raw
-    # degree features up to ~1e4; the feasibility claim (the step
-    # executes and losses stay finite/decreasing) must not sit one
-    # SGD step from overflow.
+    # degree features up to ~1e4, so gradients are huge; the claim under
+    # test is EXECUTION feasibility (the sharded step compiles and runs
+    # with finite losses at a scale single-chip HBM cannot hold), not a
+    # tuned training recipe — the lr just keeps the losses far from
+    # overflow.
     opt = optax.sgd(1e-6)
     opt_state = opt.init(params)
 
