@@ -619,6 +619,13 @@ def bench_spmm_isolated(data, impl: str) -> dict:
         op = make_operator(
             Ct, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
         )
+    elif impl in ("pallas_tiled", "pallas_tiled_bf16"):
+        from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+        op = make_operator(
+            Ct, chunk=256, window=256, tile_dedup=True, ut_cap=64,
+            gather_dtype="bfloat16" if impl.endswith("bf16") else None,
+        )
     elif impl in ("blockdense", "blockdense_bf16"):
         from tmgcn_tpu.ops.spmm_blockdense import make_operator
 
@@ -770,7 +777,8 @@ def main() -> int:
 
     # --- isolated SpMM roofline (layer-2 shape) ---
     spmm_stats = {}
-    for impl in ("jnp", "rowsplit", "pallas", "pallas_bf16", "blockdense", "blockdense_bf16"):
+    for impl in ("jnp", "rowsplit", "pallas", "pallas_bf16", "pallas_tiled",
+                 "pallas_tiled_bf16", "blockdense", "blockdense_bf16"):
         try:
             spmm_stats[impl] = bench_spmm_isolated(data, impl)
             stage(f"spmm [{impl}] {spmm_stats[impl]}")

@@ -234,6 +234,260 @@ def pack_windowed_flat(
     )
 
 
+@partial(
+    jax.tree_util.register_dataclass,
+    data_fields=["rows", "uidx", "tiles", "vals", "window_id", "is_first"],
+    meta_fields=["n_rows_out", "chunk", "window", "ut_cap"],
+)
+@dataclasses.dataclass(frozen=True)
+class PackedTiled:
+    """Tile-deduplicated chunk stream (HBM-tile gather dedup).
+
+    Motivation (measured on chess, chunk=256 column-sorted): entries in a
+    chunk repeat exact columns only 1.74x, but fall into the same 8-row
+    HBM tile 5.8x — the gather's true fetch unit. This packing gathers
+    each chunk's DISTINCT 8-row tiles once (as contiguous (8, F) row
+    groups, ~3.5x less random-gather traffic at ut_cap=64) and the
+    kernel re-expands per-entry rows with a one-hot MXU matmul — the
+    "tile-level gather dedup" upside tracked in BASELINE.md.
+
+    rows: (J, C) int32 — window-relative output row per entry (0 pad).
+    uidx: (J, C) int32 — per-entry index into the chunk's local gathered
+        row block: tile_position * 8 + (col % 8); 0 on padding (val 0).
+    tiles: (J, U_t) int32 — distinct global tile ids (col // 8) of the
+        chunk, padded with 0 (padded tiles are never referenced by uidx).
+    vals / window_id / is_first / n_rows_out / chunk / window: as
+        PackedSpmm. ut_cap: the per-chunk distinct-tile budget U_t —
+        chunks are cut early when a 257th entry would exceed it.
+    """
+
+    rows: jax.Array
+    uidx: jax.Array
+    tiles: jax.Array
+    vals: jax.Array
+    window_id: jax.Array
+    is_first: jax.Array
+    n_rows_out: int
+    chunk: int
+    window: int
+    ut_cap: int
+
+    @property
+    def n_chunks(self) -> int:
+        return self.rows.shape[0]
+
+
+def pack_windowed_tiled_flat(
+    g_rows: np.ndarray,
+    g_cols: np.ndarray,
+    g_vals: np.ndarray,
+    n_out: int,
+    chunk: int = DEFAULT_CHUNK,
+    window: int = DEFAULT_WINDOW,
+    ut_cap: int = 64,
+    all_windows: bool = True,
+) -> PackedTiled:
+    """Pack a flat entry stream with per-chunk distinct-tile budgeting.
+
+    Rows must be sorted ascending and < n_out. Entries are re-sorted
+    (window, col) — column sorting is REQUIRED here (distinct-tile runs
+    must be contiguous) and is also what makes dedup effective. Chunks
+    are cut at ``chunk`` entries, at a window boundary, or as soon as
+    the distinct-tile count would exceed ``ut_cap``.
+    """
+    g_rows = np.asarray(g_rows, np.int64)
+    g_cols = np.asarray(g_cols, np.int64)
+    g_vals = np.asarray(g_vals)
+    n_rows_out = ((n_out + window - 1) // window) * window
+    n_windows = n_rows_out // window
+
+    if len(g_rows):
+        order = np.lexsort((g_cols, g_rows // window))
+        g_rows, g_cols, g_vals = g_rows[order], g_cols[order], g_vals[order]
+    wid_of_entry = g_rows // window
+    tid = g_cols // 8
+
+    chunks = []  # (window, slice_start, slice_end)
+    P = len(g_rows)
+    seg_bounds = np.concatenate([
+        [0], np.flatnonzero(np.diff(wid_of_entry)) + 1, [P]
+    ]).astype(np.int64) if P else np.zeros(1, np.int64)
+    for i in range(len(seg_bounds) - 1):
+        s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
+        if s == e:
+            continue
+        w = int(wid_of_entry[s])
+        cs = s
+        while cs < e:
+            ce = min(cs + chunk, e)
+            seg = tid[cs:ce]
+            # cols sorted within the window -> distinct tiles are runs;
+            # cut where the cumulative run count first exceeds ut_cap.
+            distinct = np.empty(len(seg), np.int64)
+            if len(seg):
+                distinct[0] = 1
+                np.cumsum(np.diff(seg) != 0, out=distinct[1:])
+                distinct[1:] += 1
+                if distinct[-1] > ut_cap:
+                    ce = cs + int(np.searchsorted(distinct, ut_cap + 1))
+            chunks.append((w, cs, ce))
+            cs = ce
+
+    if all_windows:
+        touched = {w for w, _, _ in chunks}
+        for w in range(n_windows):
+            if w not in touched:
+                chunks.append((w, 0, 0))
+
+    chunks.sort(key=lambda x: x[0])
+    J = len(chunks)
+    rows_out = np.zeros((J, chunk), np.int32)
+    uidx_out = np.zeros((J, chunk), np.int32)
+    tiles_out = np.zeros((J, ut_cap), np.int32)
+    vals_out = np.zeros((J, chunk), g_vals.dtype)
+    wid_out = np.zeros((J,), np.int32)
+    first_out = np.zeros((J,), np.int32)
+    prev_w = -1
+    for j, (w, cs, ce) in enumerate(chunks):
+        n = ce - cs
+        if n:
+            rows_out[j, :n] = g_rows[cs:ce] - w * window
+            uniq = np.unique(tid[cs:ce])  # sorted, == appearance order here
+            tiles_out[j, : len(uniq)] = uniq
+            pos = np.searchsorted(uniq, tid[cs:ce])
+            uidx_out[j, :n] = pos * 8 + (g_cols[cs:ce] % 8)
+            vals_out[j, :n] = g_vals[cs:ce]
+        wid_out[j] = w
+        first_out[j] = 1 if w != prev_w else 0
+        prev_w = w
+
+    return PackedTiled(
+        rows=jnp.asarray(rows_out),
+        uidx=jnp.asarray(uidx_out),
+        tiles=jnp.asarray(tiles_out),
+        vals=jnp.asarray(vals_out),
+        window_id=jnp.asarray(wid_out),
+        is_first=jnp.asarray(first_out),
+        n_rows_out=int(n_rows_out),
+        chunk=chunk,
+        window=window,
+        ut_cap=ut_cap,
+    )
+
+
+def pack_windowed_tiled(
+    A: TemporalCOO,
+    chunk: int = DEFAULT_CHUNK,
+    window: int = DEFAULT_WINDOW,
+    ut_cap: int = 64,
+) -> PackedTiled:
+    """Tile-dedup packing of a temporal COO tensor (host-side, once)."""
+    from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream
+
+    g_rows, g_cols, g_vals = flatten_stream(A)
+    return pack_windowed_tiled_flat(
+        g_rows, g_cols, g_vals, A.n_slices * A.n_nodes, chunk, window, ut_cap
+    )
+
+
+def _tiled_scatter_kernel(
+    wid_ref, first_ref, rows_ref, uidx_ref, vals_ref, g_ref, out_ref, *, precision
+):
+    """One chunk: out_window (+)= onehot(rows) @ (expand(uidx, vals) @ tiles).
+
+    g_ref is the chunk's gathered DISTINCT tile block (U_t*8, F); the
+    expand one-hot (C, U_t*8) re-materializes per-entry scaled rows on
+    the MXU — trading ~U_t*8/128 extra MXU passes for 3-5x less random
+    HBM gather traffic (the kernel's actual bottleneck; BASELINE.md)."""
+    j = pl.program_id(0)
+    C = rows_ref.shape[-1]
+    U8 = g_ref.shape[-2]
+    W = out_ref.shape[0]
+    rel = rows_ref[0, 0]  # (C,) int32, window-relative
+    uid = uidx_ref[0, 0]  # (C,) int32, local gathered-row index
+    v_col = vals_ref[0, 0][:, None].astype(g_ref.dtype)  # (C, 1)
+    expand = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, U8), 1) == uid[:, None]
+    ).astype(g_ref.dtype) * v_col
+    scaled = jax.lax.dot_general(
+        expand,
+        g_ref[0],
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        # Mosaic requires 32-bit MXU accumulation; cast back to the
+        # gather dtype so the scatter matmul keeps bf16 operands (the
+        # expand is one-hot-times-val, so this rounds vals*X once —
+        # the same precision class as the untiled bf16 path).
+        preferred_element_type=jnp.float32,
+    ).astype(g_ref.dtype)  # (C, F)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (W, C), 0) == rel[None, :]
+    ).astype(g_ref.dtype)
+    acc = jax.lax.dot_general(
+        onehot,
+        scaled,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=out_ref.dtype,
+    )
+
+    @pl.when(first_ref[j] == 1)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(first_ref[j] != 1)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def windowed_tiled_segment_matmul(
+    packed: PackedTiled,
+    gathered: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    out_dtype=None,
+) -> jax.Array:
+    """(J, U_t*8, F) gathered tile blocks -> (n_rows_out, F) segment sums."""
+    J, C = packed.rows.shape
+    U8 = gathered.shape[-2]
+    F = gathered.shape[-1]
+    W = packed.window
+    out_dtype = gathered.dtype if out_dtype is None else out_dtype
+    itemsize = jnp.dtype(gathered.dtype).itemsize
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,  # window_id, is_first
+        grid=(J,),
+        in_specs=[
+            pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, U8, F), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (W, F), lambda j, wid, first: (wid[j], 0), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        partial(_tiled_scatter_kernel, precision=precision),
+        out_shape=jax.ShapeDtypeStruct((packed.n_rows_out, F), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * J * (C * U8 + W * C) * F,
+            bytes_accessed=J * U8 * F * itemsize + packed.n_rows_out * F * 4,
+            transcendentals=0,
+        ),
+    )(
+        packed.window_id,
+        packed.is_first,
+        packed.rows[:, None, :],
+        packed.uidx[:, None, :],
+        packed.vals[:, None, :],
+        gathered,
+    )
+
+
 def _scatter_kernel(
     wid_ref, first_ref, rows_ref, vals_ref, g_ref, *refs, precision, aliased=False
 ):
@@ -359,12 +613,38 @@ def _flat_fwd_impl(n_out, fast, interpret, gather_dtype, packed, flat):
         # kernel accumulates in X.dtype on the MXU (bf16 operands are
         # exact there); only X's bf16 rounding is lost.
         flat = flat.astype(gather_dtype)
-    gathered = flat[packed.cols.reshape(-1)].reshape(packed.n_chunks, packed.chunk, F)
     precision = (
         jax.lax.Precision.DEFAULT
         if (fast or gather_dtype is not None)
         else jax.lax.Precision.HIGHEST
     )
+    if isinstance(packed, PackedTiled):
+        # Gather DISTINCT 8-row HBM tiles once per chunk (contiguous
+        # (8, F) row groups via a reshape to 8F-wide rows); the kernel
+        # re-expands per-entry rows on the MXU. 3-5x less random gather
+        # traffic on graph-local patterns (PackedTiled docstring).
+        #
+        # Pad to a multiple of 64 flat rows, NOT 8: the reshaped gather
+        # source then has a sublane-aligned (multiple-of-8) row count.
+        # On this libtpu (v5e/axon) a gather from an UNALIGNED-row
+        # source (e.g. chess T*N=584080 -> 73010 rows of 8F) CRASHES
+        # the TPU worker whenever the program contains more than one
+        # consumer of the kernel (any composition/training step);
+        # single applies run and are bit-correct. Measured 2026-08-20;
+        # the pad costs <64 zero rows and removes the fault entirely.
+        pad = (-flat.shape[0]) % 64
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0)))
+        J, U_t = packed.tiles.shape
+        gathered = (
+            flat.reshape(-1, 8 * F)[packed.tiles.reshape(-1)]
+            .reshape(J, U_t * 8, F)
+        )
+        out = windowed_tiled_segment_matmul(
+            packed, gathered, precision, interpret, out_dtype=out_dtype
+        )
+        return out[:n_out]
+    gathered = flat[packed.cols.reshape(-1)].reshape(packed.n_chunks, packed.chunk, F)
     out = windowed_segment_matmul(
         packed, gathered, precision, interpret, out_dtype=out_dtype
     )
@@ -477,11 +757,15 @@ def make_flat_operator(
     interpret: bool | None = None,
     gather_dtype: str | None = None,
     sort_cols: bool = False,
+    tile_dedup: bool = False,
+    ut_cap: int = 64,
 ) -> FlatPallasOperator:
     """Prepack a rectangular flat operator (host-side, once).
 
     rows (< n_out) need not be pre-sorted; the stream is row-sorted here.
     The transpose packing (cols as rows, < n_in) powers the backward.
+    tile_dedup packs with per-chunk distinct-HBM-tile gather dedup
+    (PackedTiled); sort_cols is implied there.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
@@ -490,15 +774,25 @@ def make_flat_operator(
     vals = np.asarray(vals)
     order = np.argsort(rows, kind="stable")
     order_t = np.argsort(cols, kind="stable")
+    if tile_dedup:
+        packed = pack_windowed_tiled_flat(
+            rows[order], cols[order], vals[order], n_out, chunk, window, ut_cap
+        )
+        packed_t = pack_windowed_tiled_flat(
+            cols[order_t], rows[order_t], vals[order_t], n_in, chunk, window, ut_cap
+        )
+    else:
+        packed = pack_windowed_flat(
+            rows[order], cols[order], vals[order], n_out, chunk, window, sort_cols
+        )
+        packed_t = pack_windowed_flat(
+            cols[order_t], rows[order_t], vals[order_t], n_in, chunk, window, sort_cols
+        )
     return FlatPallasOperator(
         n_in=int(n_in),
         n_out=int(n_out),
-        packed=pack_windowed_flat(
-            rows[order], cols[order], vals[order], n_out, chunk, window, sort_cols
-        ),
-        packed_t=pack_windowed_flat(
-            cols[order_t], rows[order_t], vals[order_t], n_in, chunk, window, sort_cols
-        ),
+        packed=packed,
+        packed_t=packed_t,
         fast=fast,
         interpret=interpret,
         gather_dtype=gather_dtype,
@@ -559,6 +853,8 @@ def make_operator(
     interpret: bool | None = None,
     gather_dtype: str | None = None,
     sort_cols: bool = False,
+    tile_dedup: bool = False,
+    ut_cap: int = 64,
 ) -> PallasSpmmOperator:
     """Prepack forward + transpose scatter plans for A (host-side).
 
@@ -566,15 +862,23 @@ def make_operator(
     backends (Mosaic kernels only compile for TPU). gather_dtype
     ("bfloat16") streams gathered rows in that dtype with f32 window
     accumulation. sort_cols improves gather tile locality (see
-    pack_windowed).
+    pack_windowed). tile_dedup gathers each chunk's distinct 8-row HBM
+    tiles once and re-expands rows on the MXU (PackedTiled) — the
+    production win on graph-local patterns where entries share tiles.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if tile_dedup:
+        packed = pack_windowed_tiled(A, chunk, window, ut_cap)
+        packed_t = pack_windowed_tiled(A.transpose(), chunk, window, ut_cap)
+    else:
+        packed = pack_windowed(A, chunk, window, sort_cols)
+        packed_t = pack_windowed(A.transpose(), chunk, window, sort_cols)
     return PallasSpmmOperator(
         T=A.n_slices,
         N=A.n_nodes,
-        packed=pack_windowed(A, chunk, window, sort_cols),
-        packed_t=pack_windowed(A.transpose(), chunk, window, sort_cols),
+        packed=packed,
+        packed_t=packed_t,
         fast=fast,
         interpret=interpret,
         gather_dtype=gather_dtype,
