@@ -206,6 +206,153 @@ class TestFlatRectangular:
         np.testing.assert_allclose(np.asarray(out), dense @ np.asarray(X), atol=1e-4)
 
 
+class TestTileDedup:
+    """tile_dedup=True (PackedTiled): forward + VJP vs the jnp oracle."""
+
+    def test_forward(self, setup):
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True,
+                           tile_dedup=True)
+        out = op(X)
+        ref = spmm(A, X)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_backward(self, setup):
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True,
+                           tile_dedup=True)
+        G = jnp.asarray(np.random.default_rng(21).standard_normal(X.shape),
+                        jnp.float32)
+        dX = jax.grad(lambda x: jnp.vdot(op(x), G))(X)
+        dX_ref = jax.grad(lambda x: jnp.vdot(spmm(A, x), G))(X)
+        np.testing.assert_allclose(np.asarray(dX), np.asarray(dX_ref), atol=1e-5)
+
+    def test_small_ut_cap_forces_cuts(self, setup):
+        """A tiny distinct-tile budget forces early chunk cuts; the
+        result must not change."""
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True,
+                           tile_dedup=True, ut_cap=4)
+        assert op.packed.n_chunks > make_operator(
+            A, chunk=64, window=64, interpret=True, tile_dedup=True
+        ).packed.n_chunks
+        np.testing.assert_allclose(
+            np.asarray(op(X)), np.asarray(spmm(A, X)), atol=1e-5
+        )
+
+    def test_duplicate_entries(self):
+        """Repeated (row, col) pairs — heavy same-tile duplication, the
+        pattern the dedup targets — accumulate correctly."""
+        from tmgcn_tpu.kernels.spmm_pallas import make_flat_operator
+
+        rng = np.random.default_rng(23)
+        n, nnz, F = 96, 500, 5
+        r = rng.integers(0, n, nnz)
+        c = rng.integers(0, 16, nnz)  # columns crowd into 2 tiles
+        v = rng.standard_normal(nnz).astype(np.float32)
+        op = make_flat_operator(
+            r, c, v, n_in=n, n_out=n, chunk=32, window=32,
+            interpret=True, tile_dedup=True, ut_cap=8,
+        )
+        X = jnp.asarray(rng.standard_normal((n, F)), jnp.float32)
+        dense = np.zeros((n, n), np.float32)
+        np.add.at(dense, (r, c), v)
+        np.testing.assert_allclose(
+            np.asarray(op(X)), dense @ np.asarray(X), atol=1e-4
+        )
+        G = jnp.asarray(rng.standard_normal((n, F)), jnp.float32)
+        dX = jax.grad(lambda x: jnp.vdot(op(x), G))(X)
+        np.testing.assert_allclose(
+            np.asarray(dX), dense.T @ np.asarray(G), atol=1e-4
+        )
+
+    def test_bf16_gather(self, setup):
+        A, X, dense = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True,
+                           tile_dedup=True, gather_dtype="bfloat16")
+        out = np.asarray(op(X))
+        assert out.dtype == np.float32
+        ref = np.asarray(spmm(A, X))
+        np.testing.assert_allclose(out, ref, atol=2e-2 * np.abs(ref).max())
+
+    def test_under_jit_as_argument(self, setup):
+        A, X, _ = setup
+        op = make_operator(A, chunk=64, window=64, interpret=True,
+                           tile_dedup=True)
+        v = float(jax.jit(lambda o, x: spmm(o, x).sum())(op, X))
+        ref = float(spmm(A, X).sum())
+        assert abs(v - ref) < 1e-3 * max(abs(ref), 1.0)
+
+    def test_ut_cap_validation(self):
+        from tmgcn_tpu.kernels.spmm_pallas import pack_windowed_tiled_flat
+
+        with pytest.raises(ValueError, match="ut_cap"):
+            pack_windowed_tiled_flat(
+                np.array([0, 1]), np.array([0, 1]),
+                np.ones(2, np.float32), 64, ut_cap=0,
+            )
+
+    def test_uidx_references_real_tiles(self, setup):
+        """Packing invariant: every entry's uidx points at a tile slot
+        that holds its column's tile id."""
+        from tmgcn_tpu.kernels.spmm_pallas import pack_windowed_tiled
+
+        A, _, _ = setup
+        p = pack_windowed_tiled(A, chunk=64, window=64, ut_cap=16)
+        rows = np.asarray(p.rows)
+        uidx = np.asarray(p.uidx)
+        tiles = np.asarray(p.tiles)
+        vals = np.asarray(p.vals)
+        wid = np.asarray(p.window_id)
+        # Reconstruct each real entry's global column and compare with
+        # the original multiset.
+        recon = []
+        for j in range(p.n_chunks):
+            for k in range(p.chunk):
+                if vals[j, k] == 0:
+                    continue
+                col = tiles[j, uidx[j, k] // 8] * 8 + uidx[j, k] % 8
+                recon.append((wid[j] * p.window + rows[j, k], col, vals[j, k]))
+        T, N = A.n_slices, A.n_nodes
+        rows_np, cols_np, vals_np = (np.asarray(A.rows), np.asarray(A.cols),
+                                     np.asarray(A.vals))
+        nnz_np = np.asarray(A.nnz)
+        orig = []
+        for t in range(T):
+            n = int(nnz_np[t])
+            for i in range(n):
+                orig.append((t * N + rows_np[t, i], t * N + cols_np[t, i],
+                             vals_np[t, i]))
+        assert sorted(recon) == sorted(orig)
+
+
+class TestTiledEstimate:
+    def test_model_fields_and_dup_factor(self, setup):
+        from tmgcn_tpu.kernels.spmm_pallas import tiled_estimate
+        from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream
+
+        A, _, _ = setup
+        g_r, g_c, _ = flatten_stream(A)
+        est = tiled_estimate(g_r, g_c, chunk=64, window=64, ut_cap=16, feat=8)
+        assert est["nnz"] == int(np.asarray(A.nnz).sum())
+        assert est["tile_dup_factor"] >= 1.0
+        assert est["ratio"] > 0
+        assert est["plain_bound"] in ("hbm", "mxu")
+        # Crowded columns (few tiles) must show a larger dup factor than
+        # the spread graph.
+        rng = np.random.default_rng(3)
+        r2 = np.sort(rng.integers(0, 1000, 5000))
+        c2 = rng.integers(0, 32, 5000)
+        est2 = tiled_estimate(r2, c2, chunk=256, window=256, feat=128)
+        assert est2["tile_dup_factor"] > est["tile_dup_factor"]
+
+    def test_empty(self):
+        from tmgcn_tpu.kernels.spmm_pallas import tiled_estimate
+
+        est = tiled_estimate(np.zeros(0, np.int64), np.zeros(0, np.int64))
+        assert est["ratio"] == 1.0
+
+
 class TestSparseWindowPacking:
     """pack_windowed_flat(all_windows=False): only non-empty windows."""
 

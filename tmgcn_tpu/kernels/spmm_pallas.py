@@ -295,6 +295,8 @@ def pack_windowed_tiled_flat(
     are cut at ``chunk`` entries, at a window boundary, or as soon as
     the distinct-tile count would exceed ``ut_cap``.
     """
+    if ut_cap < 1:
+        raise ValueError(f"ut_cap must be >= 1, got {ut_cap}")
     g_rows = np.asarray(g_rows, np.int64)
     g_cols = np.asarray(g_cols, np.int64)
     g_vals = np.asarray(g_vals)
@@ -373,6 +375,105 @@ def pack_windowed_tiled_flat(
         window=window,
         ut_cap=ut_cap,
     )
+
+
+def tiled_estimate(
+    g_rows: np.ndarray,
+    g_cols: np.ndarray,
+    chunk: int = DEFAULT_CHUNK,
+    window: int = DEFAULT_WINDOW,
+    ut_cap: int = 64,
+    feat: int = 128,
+    itemsize: int = 2,
+    hbm_gbps: float = 820.0,
+    mxu_tflops: float = 197.0,
+) -> dict:
+    """Host-side cost model: tiled-dedup vs plain windowed kernel.
+
+    Runs the SAME chunk-cut logic as ``pack_windowed_tiled_flat`` (and
+    the plain packer) to count chunks and distinct tiles, then models
+    each path's time as max(HBM gather bytes / bandwidth, MXU one-hot
+    flops / peak):
+
+      * plain:  one ~4 kB HBM tile per entry gather (the measured
+        per-random-row cost, utils/profiling.spmm_gather_bound) + the
+        (W, C) scatter matmul per chunk.
+      * tiled:  the gathered block is a FIXED (ut_cap*8, F) shape, so
+        traffic is J_tiled * ut_cap rows of 8F contiguous elements
+        (min one 4 kB tile each — padded tile slots cost real reads),
+        plus an EXTRA (C, ut_cap*8) expand matmul per chunk before the
+        scatter.
+
+    Lane padding: the MXU processes 128-wide lanes, so F counts as
+    ceil(F/128)*128 in the flop model — at F=6 the expand matmul costs
+    as much as F=128 would.  Returns both modeled times and
+    ``ratio`` = tiled/plain (< 1 → tiled predicted faster); measured
+    calibration in results/tiled_analysis.md.
+    """
+    g_rows = np.asarray(g_rows, np.int64)
+    g_cols = np.asarray(g_cols, np.int64)
+    nnz = len(g_rows)
+    if nnz == 0:
+        return {"nnz": 0, "ratio": 1.0, "plain_s": 0.0, "tiled_s": 0.0}
+    order = np.lexsort((g_cols, g_rows // window))
+    g_rows = g_rows[order]
+    g_cols = g_cols[order]
+    wid_of_entry = g_rows // window
+    tid = g_cols // 8
+    seg_bounds = np.concatenate(
+        [[0], np.flatnonzero(np.diff(wid_of_entry)) + 1, [nnz]]
+    ).astype(np.int64)
+    j_tiled = 0
+    sum_ut = 0
+    j_plain = 0
+    for i in range(len(seg_bounds) - 1):
+        s, e = int(seg_bounds[i]), int(seg_bounds[i + 1])
+        if s == e:
+            continue
+        j_plain += -((s - e) // chunk)  # ceil division
+        cs = s
+        while cs < e:
+            ce = min(cs + chunk, e)
+            seg = tid[cs:ce]
+            distinct = np.empty(len(seg), np.int64)
+            distinct[0] = 1
+            np.cumsum(np.diff(seg) != 0, out=distinct[1:])
+            distinct[1:] += 1
+            if distinct[-1] > ut_cap:
+                ce = cs + int(np.searchsorted(distinct, ut_cap + 1))
+                sum_ut += ut_cap
+            else:
+                sum_ut += int(distinct[-1])
+            j_tiled += 1
+            cs = ce
+    f_pad = -((-feat) // 128) * 128
+    bw = hbm_gbps * 1e9
+    mxu = mxu_tflops * 1e12
+    row_bytes = max(4096, 8 * feat * itemsize)
+    plain_bytes = nnz * 4096
+    plain_flops = 2.0 * j_plain * window * chunk * f_pad
+    # Padded tile slots are fetched too: the gathered block shape is
+    # (J, ut_cap*8, F) regardless of each chunk's actual U_t.
+    tiled_bytes = j_tiled * ut_cap * row_bytes
+    tiled_flops = 2.0 * j_tiled * chunk * f_pad * (ut_cap * 8 + window)
+    plain_s = max(plain_bytes / bw, plain_flops / mxu)
+    tiled_s = max(tiled_bytes / bw, tiled_flops / mxu)
+    return {
+        "nnz": int(nnz),
+        "j_plain": int(j_plain),
+        "j_tiled": int(j_tiled),
+        "mean_ut": sum_ut / max(j_tiled, 1),
+        "tile_dup_factor": nnz / max(sum_ut, 1),
+        "plain_bytes": int(plain_bytes),
+        "tiled_bytes": int(tiled_bytes),
+        "plain_flops": plain_flops,
+        "tiled_flops": tiled_flops,
+        "plain_s": plain_s,
+        "tiled_s": tiled_s,
+        "plain_bound": "hbm" if plain_bytes / bw >= plain_flops / mxu else "mxu",
+        "tiled_bound": "hbm" if tiled_bytes / bw >= tiled_flops / mxu else "mxu",
+        "ratio": tiled_s / plain_s if plain_s else 1.0,
+    }
 
 
 def pack_windowed_tiled(
@@ -726,8 +827,8 @@ class FlatPallasOperator:
 
     n_in: int
     n_out: int
-    packed: PackedSpmm
-    packed_t: PackedSpmm
+    packed: PackedSpmm | PackedTiled
+    packed_t: PackedSpmm | PackedTiled
     fast: bool = False
     interpret: bool = False
     gather_dtype: str | None = None
@@ -818,8 +919,8 @@ class PallasSpmmOperator:
 
     T: int
     N: int
-    packed: PackedSpmm
-    packed_t: PackedSpmm
+    packed: PackedSpmm | PackedTiled
+    packed_t: PackedSpmm | PackedTiled
     fast: bool = False
     interpret: bool = False
     gather_dtype: str | None = None
@@ -863,8 +964,11 @@ def make_operator(
     ("bfloat16") streams gathered rows in that dtype with f32 window
     accumulation. sort_cols improves gather tile locality (see
     pack_windowed). tile_dedup gathers each chunk's distinct 8-row HBM
-    tiles once and re-expands rows on the MXU (PackedTiled) — the
-    production win on graph-local patterns where entries share tiles.
+    tiles once and re-expands rows on the MXU (PackedTiled) — a
+    gather-dedup engine that wins only when the tile-duplication factor
+    outruns the extra expand-matmul cost; use ``tiled_estimate`` (or
+    ``ops.spmm.make_auto_operator``) to decide, and see
+    results/tiled_analysis.md for measured crossovers.
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"

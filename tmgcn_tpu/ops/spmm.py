@@ -70,6 +70,18 @@ def spmm(A: TemporalCOO, X: jax.Array, impl: str = "jnp") -> jax.Array:
         return make_operator(
             A, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
         )(X)
+    if impl in ("pallas_tiled", "pallas_tiled_bf16"):
+        from tmgcn_tpu.kernels.spmm_pallas import make_operator
+
+        if isinstance(A.rows, jax.core.Tracer):
+            raise ValueError(
+                "spmm(impl='pallas_tiled') needs host-side packing; build "
+                "an operator with make_operator(A, tile_dedup=True) outside jit"
+            )
+        return make_operator(
+            A, chunk=512, window=256, tile_dedup=True,
+            gather_dtype="bfloat16" if impl.endswith("bf16") else None,
+        )(X)
     if impl == "rowsplit":
         from tmgcn_tpu.ops.spmm_rowsplit import make_operator
 
@@ -110,7 +122,7 @@ def spmm(A: TemporalCOO, X: jax.Array, impl: str = "jnp") -> jax.Array:
     return out.reshape(T, N, F)
 
 
-def make_auto_operator(A: TemporalCOO, bf16: bool = False):
+def make_auto_operator(A: TemporalCOO, bf16: bool = False, feat: int = 128):
     """Build-time operator auto-selection for the FULL-ROW path.
 
     Picks the cheapest prepacked operator for ``A`` by the byte model:
@@ -121,9 +133,14 @@ def make_auto_operator(A: TemporalCOO, bf16: bool = False):
     boundary transposes), matching the measured crossover on chess-like
     patterns. Ordering is appearance-ordered ids (measured best — RCM /
     degree / activity clusterings all RAISE the block count, see
-    tools/blockdense_ordering.py). Otherwise: the windowed Pallas
-    kernel; off-TPU the input is returned unpacked (the
-    gather/segment-sum path is native XLA on CPU).
+    tools/blockdense_ordering.py). Otherwise, among the gather-family
+    Pallas kernels: the tile-dedup variant when
+    ``kernels.spmm_pallas.tiled_estimate`` models it at under 0.6x the
+    plain kernel's time AND predicts it HBM-bound at ``feat`` (an
+    MXU-bound prediction means the expand matmul ate the traffic win —
+    the measured failure mode at small F, results/tiled_analysis.md);
+    else the plain windowed kernel. Off-TPU the input is returned
+    unpacked (the gather/segment-sum path is native XLA on CPU).
 
     ``bf16=True`` selects the production-fast precision class (bf16
     block tensor / bf16 gather traffic, f32 accumulation); the default
@@ -131,9 +148,11 @@ def make_auto_operator(A: TemporalCOO, bf16: bool = False):
     itemsize-invariant (both paths scale together), so one threshold
     serves both classes. Both fallback kernels use sort_cols=True —
     column sorting only reorders gathers for locality, never the
-    accumulation order, so exact semantics are preserved. Replaces the
-    reference's per-epoch ``for t: torch.sparse.mm`` loop at its own
-    full-row computation shape (embedding_help_functions.py:301-312).
+    accumulation order, so exact semantics are preserved. ``feat`` is
+    the feature width the operator will be applied at (the tiled flop
+    model needs it; plain/block selection is F-independent). Replaces
+    the reference's per-epoch ``for t: torch.sparse.mm`` loop at its
+    own full-row computation shape (embedding_help_functions.py:301-312).
     """
     if jax.default_backend() != "tpu":
         return A
@@ -148,8 +167,17 @@ def make_auto_operator(A: TemporalCOO, bf16: bool = False):
             return make_operator(A, mode="bf16" if bf16 else "exact")
         except ValueError:
             pass  # over the block byte budget -> Pallas below
-    from tmgcn_tpu.kernels.spmm_pallas import make_operator
+    from tmgcn_tpu.kernels.spmm_pallas import make_operator, tiled_estimate
 
+    est = tiled_estimate(
+        g_rows, g_cols, chunk=512, window=256, feat=feat,
+        itemsize=2 if bf16 else 4,
+    )
+    if est["ratio"] < 0.6 and est["tiled_bound"] == "hbm":
+        return make_operator(
+            A, chunk=512, window=256,
+            gather_dtype="bfloat16" if bf16 else None, tile_dedup=True,
+        )
     return make_operator(
         A, chunk=512, window=256,
         gather_dtype="bfloat16" if bf16 else None, sort_cols=True,
