@@ -385,30 +385,40 @@ def tiled_estimate(
     ut_cap: int = 64,
     feat: int = 128,
     itemsize: int = 2,
-    hbm_gbps: float = 820.0,
-    mxu_tflops: float = 197.0,
+    gather_row_s: float = 4.4e-9,
+    gather_bw: float = 1.84e11,
+    chunk_overhead_s: float = 0.85e-6,
+    mxu_eff_tflops: float = 146.0,
 ) -> dict:
     """Host-side cost model: tiled-dedup vs plain windowed kernel.
 
     Runs the SAME chunk-cut logic as ``pack_windowed_tiled_flat`` (and
     the plain packer) to count chunks and distinct tiles, then models
-    each path's time as max(HBM gather bytes / bandwidth, MXU one-hot
-    flops / peak):
+    each path's time as max(gather time, kernel time) with constants
+    CALIBRATED against tools/kernel_probe.py on the v5e (2026-08-20,
+    results/tiled_analysis.md):
 
-      * plain:  one ~4 kB HBM tile per entry gather (the measured
-        per-random-row cost, utils/profiling.spmm_gather_bound) + the
-        (W, C) scatter matmul per chunk.
-      * tiled:  the gathered block is a FIXED (ut_cap*8, F) shape, so
-        traffic is J_tiled * ut_cap rows of 8F contiguous elements
-        (min one 4 kB tile each — padded tile slots cost real reads),
-        plus an EXTRA (C, ut_cap*8) expand matmul per chunk before the
-        scatter.
+      * gather: per random row, max(``gather_row_s``, row_bytes /
+        ``gather_bw``) — the gather is ISSUE-bound (~4.4 ns/row
+        measured at 256 B rows) up to ~0.8 kB rows, then streams at
+        only ~184 GB/s. This is why tiled's 4.5x byte saving does not
+        materialize: its rows are 8F wide (2 kB at F=128 bf16) and pay
+        ~2.5x per row. Padded tile slots cost real reads (the gathered
+        block shape is fixed (ut_cap*8, F)).
+      * kernel: per chunk, ``chunk_overhead_s`` (grid step + iota
+        one-hot builds + window revisit — the DOMINANT term, fitted
+        0.85 us from plain 0.94 us/chunk vs tiled 1.17 us/chunk) plus
+        matmul flops at ``mxu_eff_tflops`` (in-kernel achievable, not
+        peak). Tiled adds a (C, ut_cap*8) expand matmul per chunk AND
+        can only increase the chunk count (ut_cap cuts) — under this
+        calibration tiled never wins, which matches every measured
+        shape; see results/tiled_analysis.md for the retirement
+        analysis.
 
     Lane padding: the MXU processes 128-wide lanes, so F counts as
     ceil(F/128)*128 in the flop model — at F=6 the expand matmul costs
     as much as F=128 would.  Returns both modeled times and
-    ``ratio`` = tiled/plain (< 1 → tiled predicted faster); measured
-    calibration in results/tiled_analysis.md.
+    ``ratio`` = tiled/plain (< 1 → tiled predicted faster).
     """
     g_rows = np.asarray(g_rows, np.int64)
     g_cols = np.asarray(g_cols, np.int64)
@@ -447,31 +457,37 @@ def tiled_estimate(
             j_tiled += 1
             cs = ce
     f_pad = -((-feat) // 128) * 128
-    bw = hbm_gbps * 1e9
-    mxu = mxu_tflops * 1e12
-    row_bytes = max(4096, 8 * feat * itemsize)
-    plain_bytes = nnz * 4096
-    plain_flops = 2.0 * j_plain * window * chunk * f_pad
+    mxu = mxu_eff_tflops * 1e12
+    plain_row_bytes = max(256, feat * itemsize)
+    tiled_row_bytes = max(256, 8 * feat * itemsize)
+    plain_gather_s = nnz * max(gather_row_s, plain_row_bytes / gather_bw)
     # Padded tile slots are fetched too: the gathered block shape is
     # (J, ut_cap*8, F) regardless of each chunk's actual U_t.
-    tiled_bytes = j_tiled * ut_cap * row_bytes
+    tiled_gather_s = j_tiled * ut_cap * max(
+        gather_row_s, tiled_row_bytes / gather_bw
+    )
+    plain_flops = 2.0 * j_plain * window * chunk * f_pad
     tiled_flops = 2.0 * j_tiled * chunk * f_pad * (ut_cap * 8 + window)
-    plain_s = max(plain_bytes / bw, plain_flops / mxu)
-    tiled_s = max(tiled_bytes / bw, tiled_flops / mxu)
+    plain_kernel_s = j_plain * chunk_overhead_s + plain_flops / mxu
+    tiled_kernel_s = j_tiled * chunk_overhead_s + tiled_flops / mxu
+    plain_s = max(plain_gather_s, plain_kernel_s)
+    tiled_s = max(tiled_gather_s, tiled_kernel_s)
     return {
         "nnz": int(nnz),
         "j_plain": int(j_plain),
         "j_tiled": int(j_tiled),
         "mean_ut": sum_ut / max(j_tiled, 1),
         "tile_dup_factor": nnz / max(sum_ut, 1),
-        "plain_bytes": int(plain_bytes),
-        "tiled_bytes": int(tiled_bytes),
+        "plain_gather_s": plain_gather_s,
+        "tiled_gather_s": tiled_gather_s,
+        "plain_kernel_s": plain_kernel_s,
+        "tiled_kernel_s": tiled_kernel_s,
         "plain_flops": plain_flops,
         "tiled_flops": tiled_flops,
         "plain_s": plain_s,
         "tiled_s": tiled_s,
-        "plain_bound": "hbm" if plain_bytes / bw >= plain_flops / mxu else "mxu",
-        "tiled_bound": "hbm" if tiled_bytes / bw >= tiled_flops / mxu else "mxu",
+        "plain_bound": "hbm" if plain_gather_s >= plain_kernel_s else "mxu",
+        "tiled_bound": "hbm" if tiled_gather_s >= tiled_kernel_s else "mxu",
         "ratio": tiled_s / plain_s if plain_s else 1.0,
     }
 

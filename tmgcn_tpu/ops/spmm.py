@@ -135,12 +135,17 @@ def make_auto_operator(A: TemporalCOO, bf16: bool = False, feat: int = 128):
     degree / activity clusterings all RAISE the block count, see
     tools/blockdense_ordering.py). Otherwise, among the gather-family
     Pallas kernels: the tile-dedup variant when
-    ``kernels.spmm_pallas.tiled_estimate`` models it at under 0.6x the
-    plain kernel's time AND predicts it HBM-bound at ``feat`` (an
-    MXU-bound prediction means the expand matmul ate the traffic win —
-    the measured failure mode at small F, results/tiled_analysis.md);
-    else the plain windowed kernel. Off-TPU the input is returned
-    unpacked (the gather/segment-sum path is native XLA on CPU).
+    ``kernels.spmm_pallas.tiled_estimate`` (constants calibrated
+    against tools/kernel_probe.py measurements) models it at under
+    0.6x the plain kernel's time and HBM-bound — under the calibration
+    NO measured pattern satisfies this (the gather is per-row-ISSUE-
+    bound, so tiled's byte saving doesn't pay, and the expand matmul +
+    extra chunks raise kernel time: tiled measured 0.42x plain at
+    F=128 random, 0.69x clustered; results/tiled_analysis.md), so in
+    practice this picks the plain windowed kernel; the rule stays so a
+    future genuinely dedup-friendly pattern would switch
+    automatically. Off-TPU the input is returned unpacked (the
+    gather/segment-sum path is native XLA on CPU).
 
     ``bf16=True`` selects the production-fast precision class (bf16
     block tensor / bf16 gather traffic, f32 accumulation); the default

@@ -28,9 +28,32 @@ Collectives counted (optimized partitioned-readout path, fwd + bwd):
     other workload the banded transform is BUILD-time traffic (the
     cached layer-1 propagation runs once per window) and is excluded.
 
-Backward transposes roughly double forward collective traffic
-(psum <-> broadcast pairs, all-gather <-> reduce-scatter pairs); the
-model applies a uniform 2x like the standard LLM-scaling treatments.
+  * Recurrent families (EvolveGCN, WD-GCN) shard over ``graph`` only
+    (the time recurrence is sequential — parallel/adapter.py:571-744):
+    WD-GCN and 1-layer EvolveGCN issue ONLY the readout psum and the
+    gradient psum per step (LSTM is node-local; layer-1 GRU summaries
+    read replicated X); 2-layer EvolveGCN adds the top-k candidate
+    all-gather ((T, g*k2) values/ids + (T, g*k2, F1) rows) and ONE
+    (T, N, F1) H1 all-gather for the parameter-dependent layer-2 SpMM.
+
+Backward traffic is derived PER COLLECTIVE from the actual transpose
+each primitive takes under autodiff (not a uniform 2x):
+
+  * ``all_gather``  <-> ``reduce_scatter``: the transpose moves the
+    SAME (n-1)/n of the buffer again -> factor 2.
+  * ``ppermute``    <-> reverse ``ppermute``: same bytes -> factor 2.
+  * ``psum`` of shard-local partials -> its transpose is the IDENTITY
+    on the (already replicated) cotangent: under SPMD the upstream
+    cotangent of a replicated value is resident on every device, so no
+    bytes move -> factor 1 (forward only).
+  * the gradient psum IS the backward's own reduction (it has no
+    further transpose in a single training step) -> factor 1.
+
+``BWD_FACTOR`` records the per-collective factor; ``step_comm_bytes``
+reports the derived total plus ``uniform_2x_total`` (the old
+convention) so the two can be compared — on chess_cls_2layer at 8x1
+the uniform rule overstates collective bytes by ~1.3x because the two
+psums (readout + grads) dominate and transpose for free.
 
 Bandwidths are the public TPU v5e figures used by the scaling
 literature (jax-ml.github.io/scaling-book): HBM 8.1e11 B/s, ICI
@@ -70,6 +93,9 @@ class Workload:
     # apply_M_twice (UCI M²/M³ config): per-step banded halo hops along
     # ``time`` for the layer-2 re-mixing; 0 = no per-step halo.
     m2_halo: int = 0
+    # "tmgcn" (graph x time mesh), "evolvegcn" / "wdgcn" (graph-only:
+    # the time recurrence is sequential — parallel/adapter.py:739).
+    family: str = "tmgcn"
 
 
 # The driver-benchmark configs + one deliberately scaled-up setting.
@@ -89,7 +115,41 @@ UCI_M3 = Workload(
     "uci_m3_lp", 61, 500, 2, 6, 2, 300_000, 1_200,
     two_layer=True, m2_halo=38,
 )
-WORKLOADS = [CHESS_CLS, CHESS_CLS2, CHESS_LP, SCALED, UCI_M3]
+# Recurrent families at the chess cls shape (graph-only sharding).
+CHESS_EVOLVE1 = Workload(
+    "chess_cls_evolvegcn1", 80, 7301, 2, 6, 3, 39_192, 813,
+    family="evolvegcn",
+)
+CHESS_EVOLVE2 = Workload(
+    "chess_cls_evolvegcn2", 80, 7301, 2, 6, 3, 39_192, 813,
+    two_layer=True, family="evolvegcn",
+)
+CHESS_WDGCN = Workload(
+    "chess_cls_wdgcn", 80, 7301, 2, 6, 3, 39_192, 813, family="wdgcn"
+)
+SCALED_EVOLVE2 = Workload(
+    "scaled_1M_evolvegcn2", 128, 1_000_000, 32, 64, 2, 20_000_000,
+    200_000, two_layer=True, itemsize=2, family="evolvegcn",
+)
+WORKLOADS = [
+    CHESS_CLS, CHESS_CLS2, CHESS_LP, SCALED, UCI_M3,
+    CHESS_EVOLVE1, CHESS_EVOLVE2, CHESS_WDGCN, SCALED_EVOLVE2,
+]
+
+# Backward transpose factor per collective (derivation: module
+# docstring). 2.0 = the transpose moves the same bytes again
+# (all-gather <-> reduce-scatter, ppermute <-> reverse ppermute);
+# 1.0 = forward-only (psum of partials transposes to the identity on a
+# replicated cotangent; the grad psum IS the backward reduction).
+BWD_FACTOR = {
+    "readout_psum_graph": 1.0,
+    "logit_allgather_time": 2.0,
+    "grad_psum": 1.0,
+    "row_allgather_graph": 2.0,
+    "m2_halo_ppermute_time": 2.0,
+    "topk_allgather_graph": 2.0,
+    "h1_allgather_graph": 2.0,
+}
 
 
 def ring_all_reduce_bytes(buf: int, n: int) -> float:
@@ -115,20 +175,40 @@ def step_comm_bytes(w: Workload, g: int, t: int, train_only: bool = False) -> di
     metrics.
     """
     it = w.itemsize
+    if w.family != "tmgcn":
+        assert t == 1, f"{w.family} shards over graph only (adapter.py:739)"
     e_bucket = w.E / max(t, 1)
+    # Trainable replicated params (frozen buffers — WD-GCN U — excluded):
+    if w.family == "wdgcn":
+        # W (F0->F1) + hand-rolled LSTM (4 gates x (2*F1 -> F1) + bias).
+        n_params = w.F0 * w.F1 + 4 * (2 * w.F1 * w.F1 + w.F1)
+    elif w.family == "evolvegcn":
+        # Per layer: GRU cell (3 gates x two k x k maps + bias) + score p.
+        gru = lambda k: 3 * (2 * k * k + k) + k
+        n_params = gru(w.F1) + (gru(w.F1) if w.two_layer else 0) \
+            + 2 * w.F1 * w.C
+    else:
+        n_params = (
+            w.F0 * w.F1 + (w.F1 * w.F1 if w.two_layer else 0)
+            + 2 * w.F1 * w.C
+        )
     out = {
         "readout_psum_graph": ring_all_reduce_bytes(e_bucket * w.C * it, g),
         "logit_allgather_time": (
             0.0 if train_only else all_gather_bytes(w.E * w.C * it, t)
         ),
-        # Replicated params: W (+W2) + U; psum over all g*t devices.
-        "grad_psum": ring_all_reduce_bytes(
-            (w.F0 * w.F1 + (w.F1 * w.F1 if w.two_layer else 0) + 2 * w.F1 * w.C)
-            * it,
-            g * t,
-        ),
+        "grad_psum": ring_all_reduce_bytes(n_params * it, g * t),
     }
-    if w.two_layer:
+    if w.family == "evolvegcn" and w.two_layer:
+        # Distributed top-k candidate all-gather: (T, g*k2) values+ids
+        # and (T, g*k2, F1) candidate rows (adapter.py:678-683)...
+        out["topk_allgather_graph"] = all_gather_bytes(
+            w.T * g * w.F1 * (2 + w.F1) * it, g
+        )
+        # ...plus ONE (T, N, F1) H1 all-gather for the layer-2 SpMM
+        # (adapter.py:697).
+        out["h1_allgather_graph"] = all_gather_bytes(w.T * w.N * w.F1 * it, g)
+    elif w.family == "tmgcn" and w.two_layer:
         out["row_allgather_graph"] = all_gather_bytes(
             (w.T / max(t, 1)) * w.N * w.F1 * it, g
         )
@@ -139,11 +219,14 @@ def step_comm_bytes(w: Workload, g: int, t: int, train_only: bool = False) -> di
         out["m2_halo_ppermute_time"] = (
             w.m2_halo * w.N / max(g, 1) * w.F1 * it
         )
-    # Backward transposes: psum <-> broadcast, all-gather <-> reduce-
-    # scatter move the same bytes again.
+    # Backward transposes: per-collective derived factors (BWD_FACTOR,
+    # derivation in the module docstring) — NOT a uniform 2x.
     total_fwd = sum(out.values())
-    out["backward_2x"] = total_fwd
-    out["total"] = 2 * total_fwd
+    out["backward_extra"] = sum(
+        (BWD_FACTOR[k] - 1.0) * v for k, v in out.items() if k in BWD_FACTOR
+    )
+    out["total"] = total_fwd + out["backward_extra"]
+    out["uniform_2x_total"] = 2 * total_fwd  # old convention, for comparison
     return out
 
 
@@ -158,6 +241,15 @@ def step_compute(w: Workload, g: int, t: int) -> dict:
         # + W2 matmul.
         flops += w.T * w.nnz * w.F1 * 2 + w.T * w.N * w.F1 * w.F1 * 2
         hbm += w.T * w.nnz * 8 * 128 * it / 8  # windowed kernel amortizes ~8x
+    if w.family == "wdgcn":
+        # Per-node LSTM over time: 4 gates x (2*F1 -> F1) per (t, n).
+        flops += w.T * w.N * 4 * 2 * w.F1 * w.F1 * 2
+        hbm += w.T * w.N * w.F1 * it  # hidden-state stream
+    elif w.family == "evolvegcn":
+        # GRU weight evolution is (F, k) x per-slice — negligible next
+        # to the propagation; the per-slice einsum with slice-varying W
+        # matches the generic AtXt term above.
+        flops += w.T * 3 * 2 * w.F1 * w.F1 * w.F1 * 2
     flops += w.E * (4 * w.F1 * w.C)  # readout concat-matmul
     hbm += w.E * (2 * w.F1 + w.C) * it
     n_dev = g * t
@@ -217,7 +309,8 @@ def crossover(
     while n <= 4096:
         shapes = [
             predict(w, g, t, transport)
-            for g, t in mesh_shapes(n) if t <= w.T
+            for g, t in mesh_shapes(n)
+            if t <= w.T and (w.family == "tmgcn" or t == 1)
         ]
         if not shapes:
             break
@@ -241,7 +334,7 @@ def table(out_path: str | None = None) -> dict:
         n = 2
         while n <= 64:
             for g, t in mesh_shapes(n):
-                if t > w.T:
+                if t > w.T or (w.family != "tmgcn" and t != 1):
                     continue
                 rows.append(predict(w, g, t))
             n *= 2

@@ -107,16 +107,43 @@ def main() -> int:
         ),
         "pallas_f32_sort": dict(chunk=512, window=256, sort_cols=True),
     }
+    variants.update({
+        "pallas_tiled_f32": dict(chunk=256, window=256, tile_dedup=True),
+        "pallas_tiled_bf16": dict(
+            chunk=256, window=256, tile_dedup=True, gather_dtype="bfloat16"
+        ),
+        "pallas_tiled_bf16_cap32": dict(
+            chunk=256, window=256, tile_dedup=True, gather_dtype="bfloat16",
+            ut_cap=32,
+        ),
+        "pallas_tiled_bf16_cap128": dict(
+            chunk=256, window=256, tile_dedup=True, gather_dtype="bfloat16",
+            ut_cap=128,
+        ),
+    })
     ops = {}
     for name, kw in variants.items():
         ops[name] = jax.device_put(make_operator(A, **kw))
         record(name, lambda op, x: op(x).sum(), ops[name], X)
+
+    # Model predictions for the tiled-vs-plain decision at this shape.
+    from tmgcn_tpu.kernels.spmm_pallas import PackedTiled, tiled_estimate
+    from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream as _flat
+
+    g_r0, g_c0, _ = _flat(A)
+    out["tiled_estimate_random"] = {
+        k: (round(v, 4) if isinstance(v, float) else v)
+        for k, v in tiled_estimate(
+            g_r0, g_c0, chunk=256, window=256, feat=F, itemsize=2
+        ).items()
+    }
 
     # Component split on the canonical bf16 variant: kernel-only timing
     # on pre-gathered chunks (gather cost = full - kernel, approx).
     for name in ("pallas_f32_256", "pallas_bf16_256"):
         op = ops[name]
         packed = op.packed
+        assert not isinstance(packed, PackedTiled)  # .cols below is PackedSpmm-only
         dtype = jnp.bfloat16 if op.gather_dtype else jnp.float32
         flat = X.reshape(T * N, F).astype(dtype)
         G = jax.device_put(
@@ -144,6 +171,47 @@ def main() -> int:
             lambda x, cc=cols, dt_=dtype: x.reshape(T * N, F)
             .astype(dt_)[cc]
             .sum(axis=0),
+            X,
+        )
+
+    # Tiled component split: kernel-only on pre-gathered tile blocks vs
+    # tiles-gather-only — locates whether the dedup's traffic saving is
+    # eaten by the expand matmul (MXU) or never materializes (gather).
+    from tmgcn_tpu.kernels.spmm_pallas import windowed_tiled_segment_matmul
+
+    for name in ("pallas_tiled_bf16", "pallas_tiled_f32"):
+        op = ops[name]
+        packed = op.packed
+        assert isinstance(packed, PackedTiled)
+        dtype = jnp.bfloat16 if op.gather_dtype else jnp.float32
+        flat = X.reshape(T * N, F).astype(dtype)
+        pad = (-flat.shape[0]) % 64
+        if pad:
+            flat = jnp.pad(flat, ((0, pad), (0, 0)))
+        J, U_t = packed.tiles.shape
+        G = jax.device_put(
+            np.asarray(flat.reshape(-1, 8 * F))[
+                np.asarray(packed.tiles).reshape(-1)
+            ].reshape(J, U_t * 8, F)
+        )
+        prec = (
+            jax.lax.Precision.DEFAULT
+            if op.gather_dtype
+            else jax.lax.Precision.HIGHEST
+        )
+        record(
+            name + "_kernel_only",
+            lambda g, p=packed, pr=prec: windowed_tiled_segment_matmul(
+                p, g, pr, out_dtype=jnp.float32
+            ).sum(),
+            G,
+        )
+        tiles_flat = jnp.asarray(np.asarray(packed.tiles).reshape(-1))
+        record(
+            name + "_gather_only",
+            lambda x, tt=tiles_flat, dt_=dtype, p_=pad: jnp.pad(
+                x.reshape(T * N, F).astype(dt_), ((0, p_), (0, 0))
+            ).reshape(-1, 8 * F)[tt].sum(axis=0),
             X,
         )
 
@@ -185,8 +253,17 @@ def main() -> int:
     out["blockdense_clustered_ratio"] = round(estimate(g_r2, g_c2)["ratio"], 3)
     print(f"blockdense byte ratio, clustered graph: "
           f"{out['blockdense_clustered_ratio']}", flush=True)
+    out["tiled_estimate_clustered"] = {
+        k: (round(v, 4) if isinstance(v, float) else v)
+        for k, v in tiled_estimate(
+            g_r2, g_c2, chunk=256, window=256, feat=F, itemsize=2
+        ).items()
+    }
     for name, kw in {
         "clustered_pallas_bf16": None,
+        "clustered_pallas_tiled_bf16": dict(
+            chunk=256, window=256, tile_dedup=True, gather_dtype="bfloat16"
+        ),
         "clustered_blockdense": dict(mode="exact"),
         "clustered_blockdense_bf16": dict(mode="bf16"),
     }.items():
@@ -194,6 +271,8 @@ def main() -> int:
             op2 = jax.device_put(make_operator(
                 A2, chunk=512, window=256, gather_dtype="bfloat16", sort_cols=True
             ))
+        elif "tile_dedup" in kw:
+            op2 = jax.device_put(make_operator(A2, **kw))
         else:
             op2 = jax.device_put(make_bd(A2, **kw))
         record(name, lambda op, x: op(x).sum(), op2, X)
