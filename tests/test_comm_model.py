@@ -1,6 +1,7 @@
 """Analytic comm model: structural invariants (utils/comm_model.py)."""
 
 import numpy as np
+import pytest
 
 from tmgcn_tpu.utils.comm_model import (
     CHESS_CLS,
@@ -72,3 +73,37 @@ def test_m2_halo_counted_only_for_m2_workloads():
     # Graph sharding shrinks the per-device halo rows.
     c2 = step_comm_bytes(UCI_M3, 2, 4)
     assert c2["m2_halo_ppermute_time"] < c["m2_halo_ppermute_time"]
+
+
+def test_derived_backward_factors():
+    """psum collectives transpose for free; all-gathers pay 2x (module
+    docstring derivation) — the derived total must sit between the
+    forward sum and the old uniform 2x."""
+    c = step_comm_bytes(CHESS_CLS2, 4, 2)
+    fwd = (
+        c["readout_psum_graph"] + c["logit_allgather_time"]
+        + c["grad_psum"] + c["row_allgather_graph"]
+    )
+    assert c["total"] == pytest.approx(
+        fwd + c["logit_allgather_time"] + c["row_allgather_graph"]
+    )
+    assert fwd < c["total"] < c["uniform_2x_total"]
+
+
+def test_recurrent_families_graph_only():
+    from tmgcn_tpu.utils.comm_model import (
+        CHESS_EVOLVE1, CHESS_EVOLVE2, CHESS_WDGCN, crossover,
+    )
+
+    with pytest.raises(AssertionError):
+        step_comm_bytes(CHESS_WDGCN, 2, 4)  # t>1 forbidden
+    c1 = step_comm_bytes(CHESS_EVOLVE1, 8, 1)
+    c2 = step_comm_bytes(CHESS_EVOLVE2, 8, 1)
+    cw = step_comm_bytes(CHESS_WDGCN, 8, 1)
+    # 2-layer EvolveGCN pays the H1 all-gather; the others don't.
+    assert c2["h1_allgather_graph"] > 0 and c2["topk_allgather_graph"] > 0
+    assert "h1_allgather_graph" not in c1 and "h1_allgather_graph" not in cw
+    assert c2["total"] > c1["total"]
+    # Crossovers restrict to graph-only meshes.
+    xo = crossover(CHESS_WDGCN, "ici")
+    assert xo is None or xo["mesh"].endswith("x1")
