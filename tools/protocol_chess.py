@@ -334,7 +334,8 @@ def run_ref_cls(family: str, epochs: int, rep: int | None = None) -> dict:
     return write_result("ref", family, tag, payload) and payload
 
 
-def run_ref_lp(family: str, epochs: int, alpha: float = LP_ALPHA) -> dict:
+def run_ref_lp(family: str, epochs: int, alpha: float = LP_ALPHA,
+               rep: int | None = None) -> dict:
     mat = ensure_artifact()
     aug, labels = shared_negatives(mat)
 
@@ -374,6 +375,8 @@ def run_ref_lp(family: str, epochs: int, alpha: float = LP_ALPHA) -> dict:
 
     w = round(alpha * 100)
     tag = "lp" if w == round(LP_ALPHA * 100) else f"lp_a{w}"
+    if rep is not None:
+        tag += f"_r{rep}"
     workdir = OUT_DIR / f"ref_{family}_{tag}_work"
     t0 = time.time()
     exec_driver(driver, patches, F32_TRANSFORMS, workdir, preload, post_load=inject)
@@ -602,7 +605,7 @@ def main() -> int:
     else:
         alpha = LP_ALPHA if args.alpha is None else args.alpha
         if args.side == "ref":
-            run_ref_lp(args.family, epochs, alpha=alpha)
+            run_ref_lp(args.family, epochs, alpha=alpha, rep=args.rep)
         else:
             run_ours_lp(args.family, epochs, alpha=alpha, seed=args.seed)
     return 0

@@ -1,0 +1,11 @@
+#!/bin/bash
+# Round-5 directive-4 queue 2: reference TM-GCN-2 chess cls repeat 1
+# (~1.9h at the recorded 6815s wall).
+set -u
+cd /root/repo
+E="env PYTHONPATH= JAX_PLATFORMS=cpu OMP_NUM_THREADS=2 MKL_NUM_THREADS=2"
+echo "[$(date -u +%H:%M:%S)] ref tmgcn2 cls rep=1 start"
+$E timeout 14400 nice -n 10 python tools/protocol_chess.py ref --family tmgcn2 --task cls --rep 1 \
+  >> results/protocol_chess/logs/ref_tmgcn2_cls_r1.log 2>&1
+echo "[$(date -u +%H:%M:%S)] ref tmgcn2 cls rep=1 rc=$?"
+echo "queue2 done"
