@@ -30,6 +30,13 @@ def manifest_env(tmp_path, monkeypatch):
         {"bitcoin_otc": F.FetchSpec(gz.as_uri(), "gz")},
     )
     monkeypatch.setattr(F, "LOCK_PATH", tmp_path / "MANIFEST.lock.json")
+    # The synthetic stand-in is smaller than the real dataset; scale the
+    # published-statistics gate to it (the gate itself is exercised by
+    # test_fetch_rejects_wrong_statistics below).
+    monkeypatch.setitem(
+        F.EXPECTED_STATS, "bitcoin_otc",
+        {"rows": (20_000, 28_000), "nodes": (600, 1_000)},
+    )
     return tmp_path, raw
 
 
@@ -53,6 +60,28 @@ def test_fetch_rejects_hash_mismatch(manifest_env):
         f.write(b"tampered\n")
     with pytest.raises(RuntimeError, match="sha256 mismatch"):
         F.fetch("bitcoin_otc", tmp_path / "real")
+
+
+def test_fetch_rejects_wrong_statistics(manifest_env, monkeypatch):
+    """A truncated/substituted first download must be rejected BEFORE
+    its hash is pinned (VERDICT round-4 directive #7): here the served
+    file parses fine but its row count misses the published range."""
+    tmp_path, _ = manifest_env
+    monkeypatch.setitem(
+        F.EXPECTED_STATS, "bitcoin_otc",
+        {"rows": (33_000, 38_000), "nodes": (5_500, 6_300)},  # real ranges
+    )
+    with pytest.raises(RuntimeError, match="statistics mismatch"):
+        F.fetch("bitcoin_otc", tmp_path / "real")
+    # Nothing pinned, nothing left at dest to read as "already present".
+    assert not (tmp_path / "MANIFEST.lock.json").exists()
+    assert not (tmp_path / "real/bitcoin_otc/soc-sign-bitcoinotc.csv").exists()
+
+
+def test_every_fetchable_dataset_has_stats():
+    for name, spec in F.MANIFEST.items():
+        if not spec.manual:
+            assert name in F.EXPECTED_STATS, name
 
 
 def test_manifest_covers_every_external_dataset():

@@ -139,6 +139,11 @@ class WDGCN:
     hidden_feat: tuple[int, int]
     dtype: jnp.dtype = jnp.float32
     spmm_impl: str = "jnp"
+    # LSTM scan unroll override (None = the lstm_scan heuristic: full
+    # unroll for T<=128). Large-N configs need a rolled scan — the full
+    # unroll's program size is what breaks the 500k-node compile
+    # (results/recurrent_compile_boundary.md).
+    scan_unroll: int | None = None
 
     def init(self, key: jax.Array) -> dict:
         f0, (f1, c) = self.in_feat, self.hidden_feat
@@ -173,12 +178,17 @@ class WDGCN:
             Yt = jax.nn.relu(
                 jnp.einsum("fk,tfn->tkn", p["W"].astype(self.dtype), AXt)
             )
-            return lstm_scan_t(p["lstm"], b["h_init"], b["c_init"], Yt)
+            return lstm_scan_t(
+                p["lstm"], b["h_init"], b["c_init"], Yt,
+                unroll=self.scan_unroll,
+            )
         if AX is None:
             AX = self.propagate(A, X)
         AX = AX.astype(self.dtype)  # reference f32 buffer truncation
         Y = jax.nn.relu(jnp.matmul(AX, p["W"].astype(AX.dtype)))
-        return lstm_scan(p["lstm"], b["h_init"], b["c_init"], Y)
+        return lstm_scan(
+            p["lstm"], b["h_init"], b["c_init"], Y, unroll=self.scan_unroll
+        )
 
     def apply(
         self,

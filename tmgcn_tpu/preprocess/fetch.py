@@ -92,6 +92,44 @@ MANIFEST: dict[str, FetchSpec] = {
     ),
 }
 
+# Published dataset statistics (the KONECT/SNAP pages cited by
+# read_data.m:13-103), as (lo, hi) acceptance ranges. A trust-on-first-
+# use pin is only recorded when the parsed file's row/node counts land
+# inside these — a truncated or substituted first download is rejected
+# BEFORE its hash can become canonical. Ranges are deliberately wide
+# (hosting sites occasionally re-export with small diffs); they exist
+# to catch gross truncation/poisoning, not byte drift.
+EXPECTED_STATS: dict[str, dict[str, tuple[int, int]]] = {
+    "bitcoin_otc": {"rows": (33_000, 38_000), "nodes": (5_500, 6_300)},
+    "bitcoin_alpha": {"rows": (22_000, 26_500), "nodes": (3_400, 4_200)},
+    "reddit": {"rows": (260_000, 310_000), "nodes": (25_000, 50_000)},
+    "chess": {"rows": (62_000, 68_000), "nodes": (6_900, 7_700)},
+    "hep_th": {"rows": (2_100_000, 3_300_000), "nodes": (18_000, 28_000)},
+    "wikiconflict": {"rows": (2_300_000, 3_500_000),
+                     "nodes": (90_000, 140_000)},
+    "uci": {"rows": (55_000, 65_000), "nodes": (1_700, 2_100)},
+    "eu_core": {"rows": (300_000, 360_000), "nodes": (850, 1_100)},
+}
+
+
+def validate_stats(name: str, raw) -> None:
+    """Reject a parsed raw file whose row/node counts fall outside the
+    published ranges (EXPECTED_STATS). Called before hash pinning."""
+    stats = EXPECTED_STATS.get(name)
+    if stats is None:
+        return
+    n_rows = int(len(raw.src))
+    n_nodes = int(raw.n_nodes)
+    for label, value in (("rows", n_rows), ("nodes", n_nodes)):
+        lo, hi = stats[label]
+        if not (lo <= value <= hi):
+            raise RuntimeError(
+                f"{name}: statistics mismatch — {label}={value} outside the "
+                f"published range [{lo}, {hi}] (read_data.m:13-103 sources); "
+                "refusing to accept/pin this file"
+            )
+
+
 LOCK_PATH = Path(__file__).resolve().parents[2] / "data" / "MANIFEST.lock.json"
 
 
@@ -169,13 +207,21 @@ def fetch(name: str, data_root: str | Path = "data/real",
             f"{name}: sha256 mismatch — expected {expected}, got {digest}"
         )
 
-    # Validate shape BEFORE pinning: the file must parse under the
-    # DatasetSpec, so a corrupt-but-complete download never gets its
-    # hash recorded as canonical.
+    # Validate shape AND statistics BEFORE pinning: the file must parse
+    # under the DatasetSpec and its row/node counts must land in the
+    # published ranges, so a corrupt, truncated, or substituted download
+    # never gets its hash recorded as canonical.
     from tmgcn_tpu.preprocess.datasets import load_raw
 
     raw = load_raw(spec, dest_dir)
-    print(f"{name}: parsed ok ({raw.n_slices} slices, {raw.n_nodes} nodes)")
+    try:
+        validate_stats(name, raw)
+    except RuntimeError:
+        # Leave nothing behind that would read as "already present".
+        dest.unlink(missing_ok=True)
+        raise
+    print(f"{name}: parsed ok ({raw.n_slices} slices, {raw.n_nodes} nodes, "
+          f"{len(raw.src)} rows)")
 
     if expected is None:
         lock[name] = {"sha256": digest, "url": f.url, "pinned": "first-fetch"}
