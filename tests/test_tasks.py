@@ -298,3 +298,92 @@ class TestBundleDedupe:
             out2, _ = ad.apply(variables, ad.bundles["test"], carry)
             assert out.shape[0] == edges.shape[1]
             assert out2.shape[0] == edges.shape[1]
+
+
+class TestStreamedLayer2:
+    """l2_stream_chunks: the time-chunked layer-2 path must reproduce
+    the single-operator restricted path exactly (forward and grads)."""
+
+    def _problem(self):
+        from tmgcn_tpu.core.mmatrix import make_m_matrix
+        from tmgcn_tpu.core.sparse import TemporalCOO
+
+        rng = np.random.default_rng(7)
+        T, N = 9, 48
+        dense = (rng.random((T, N, N)) < 0.12) * rng.random((T, N, N))
+        A = TemporalCOO.from_dense(dense, pad_multiple=8)
+        M = make_m_matrix(T, 3).astype(np.float32)
+        X = rng.standard_normal((T, N, 3)).astype(np.float32)
+        E = 80
+        edges = np.stack(
+            [rng.integers(0, T, E), rng.integers(0, N, E), rng.integers(0, N, E)]
+        )
+        return A, M, X, edges
+
+    @pytest.mark.parametrize("n_chunks", [1, 3, 4])
+    def test_matches_restricted(self, n_chunks):
+        import jax
+
+        from tmgcn_tpu.models.tmgcn import TMGCN2
+        from tmgcn_tpu.tasks.adapters import make_edge_adapter
+
+        A, M, X, edges = self._problem()
+        model = TMGCN2(
+            n_slices=A.n_slices, in_feat=3, hidden_feat=(4, 4, 2), nonlin2="selu"
+        )
+        adj = {w: A for w in ("train", "val", "test")}
+        feats = {w: X for w in ("train", "val", "test")}
+        edict = {w: edges for w in ("train", "val", "test")}
+        ref = make_edge_adapter(model, adj, feats, edict, M=M)
+        st = make_edge_adapter(
+            model, adj, feats, edict, M=M, l2_stream_chunks=n_chunks
+        )
+        assert "l2s_op" in st.bundles["train"]
+        variables = ref.init(jax.random.PRNGKey(3))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_st, _ = st.apply(variables, st.bundles["train"], ())
+        np.testing.assert_allclose(
+            np.asarray(out_st), np.asarray(out_ref), atol=2e-5
+        )
+
+        import jax.numpy as jnp
+
+        def loss(ad, v):
+            out, _ = ad.apply(v, ad.bundles["train"], ())
+            return jnp.sum(out * out)
+
+        g_ref = jax.grad(lambda v: loss(ref, v))(variables)
+        g_st = jax.grad(lambda v: loss(st, v))(variables)
+        for k in ("W1", "W2", "U"):
+            r = np.asarray(g_ref["params"][k])
+            np.testing.assert_allclose(
+                np.asarray(g_st["params"][k]), r,
+                atol=1e-5 * max(np.abs(r).max(), 1.0),
+            )
+
+    def test_drop_last_slice(self):
+        import jax
+
+        from tmgcn_tpu.models.tmgcn import TMGCN2
+        from tmgcn_tpu.tasks.adapters import make_edge_adapter
+
+        A, M, X, edges = self._problem()
+        e = edges.copy()
+        e[0] = np.clip(e[0], 0, A.n_slices - 2)
+        model = TMGCN2(
+            n_slices=A.n_slices - 1, in_feat=3, hidden_feat=(4, 4, 2),
+            nonlin2="selu",
+        )
+        adj = {w: A for w in ("train", "val", "test")}
+        feats = {w: X for w in ("train", "val", "test")}
+        edict = {w: e for w in ("train", "val", "test")}
+        ref = make_edge_adapter(model, adj, feats, edict, M=M,
+                                drop_last_slice=True)
+        st = make_edge_adapter(model, adj, feats, edict, M=M,
+                               drop_last_slice=True, l2_stream_chunks=3)
+        variables = ref.init(jax.random.PRNGKey(5))
+        out_ref, _ = ref.apply(variables, ref.bundles["train"], ())
+        out_st, _ = st.apply(variables, st.bundles["train"], ())
+        np.testing.assert_allclose(
+            np.asarray(out_st), np.asarray(out_ref), atol=2e-5
+        )

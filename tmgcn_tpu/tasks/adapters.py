@@ -179,6 +179,138 @@ def _build_restricted_layer2(
     return uniq, used
 
 
+def _pad_packed_chunks(p, j_max):
+    """Pad a PackedSpmm's chunk axis to j_max with inert chunks.
+
+    Padding chunks carry zero vals (contribute nothing), window_id 0 and
+    is_first 0 (accumulate +0 into an already-initialized window), so
+    packings of different chunk counts stack into one scan operand.
+    """
+    import dataclasses as _dc
+
+    import jax.numpy as _jnp
+
+    j = p.rows.shape[0]
+    if j == j_max:
+        return p
+    pad = j_max - j
+    z2 = _jnp.zeros((pad, p.rows.shape[1]), p.rows.dtype)
+    return _dc.replace(
+        p,
+        rows=_jnp.concatenate([p.rows, z2]),
+        cols=_jnp.concatenate([p.cols, z2]),
+        vals=_jnp.concatenate([p.vals, _jnp.zeros((pad, p.vals.shape[1]), p.vals.dtype)]),
+        window_id=_jnp.concatenate([p.window_id, _jnp.zeros(pad, p.window_id.dtype)]),
+        is_first=_jnp.concatenate([p.is_first, _jnp.zeros(pad, p.is_first.dtype)]),
+    )
+
+
+def _build_streamed_layer2(
+    bundle: dict,
+    A,
+    edges_np: np.ndarray,
+    drop_last_slice: bool,
+    n_chunks: int,
+    operator: str = "auto",
+    cached_key: str = "cached",
+) -> None:
+    """Time-chunked variant of the restricted layer-2 build (HBM streaming).
+
+    The single restricted operator materializes its whole gathered chunk
+    stream per epoch (J_total x C x F1 plus the transposed backward) —
+    at 1M nodes that transient is what exhausts single-chip HBM
+    (results/stream2_probe.jsonl). This build splits the T slices into
+    ``n_chunks`` groups and packs ONE rectangular Pallas operator per
+    group with SHARED padded shapes (n_out=U_pad endpoint rows,
+    n_in=S_max in-neighbor rows, chunk count J_max), so the epoch runs a
+    ``lax.scan`` over the stacked operator pytree: HBM holds one group's
+    gather stream at a time, trading wall time for peak memory — the
+    slow-but-finite alternative to a declared OOM (the reference
+    computes all N rows every epoch, embedding_help_functions.py:301-312).
+
+    Produces bundle keys: ``l2s_op`` (stacked FlatPallasOperator),
+    ``l2s_Hin`` (n_chunks, S_max, F0), ``l2s_src``/``l2s_trg`` (E,)
+    indices into the (n_chunks * U_pad, F1) stacked output.
+    """
+    from tmgcn_tpu.kernels.spmm_pallas import make_flat_operator as mk_pallas
+    from tmgcn_tpu.ops.spmm_rowsplit import flatten_stream
+
+    if drop_last_slice:
+        A = A.slice_window(0, A.n_slices - 1)
+    T, N = A.n_slices, A.n_nodes
+    t_per = -(-T // n_chunks)  # ceil
+    e = np.asarray(edges_np, np.int64)
+    src_keys = e[0] * N + e[1]
+    trg_keys = e[0] * N + e[2]
+    edge_chunk = e[0] // t_per
+    g_rows, g_cols, g_vals = flatten_stream(A)
+    row_chunk = (g_rows // N) // t_per
+
+    bf16 = operator.endswith("bf16")
+    gather_dtype = "bfloat16" if bf16 else None
+
+    chunks = []
+    for c in range(n_chunks):
+        esel = edge_chunk == c
+        uniq_c = np.unique(np.concatenate([src_keys[esel], trg_keys[esel]]))
+        asel = row_chunk == c
+        rows_a, cols_a, vals_a = g_rows[asel], g_cols[asel], g_vals[asel]
+        idx = np.searchsorted(uniq_c, rows_a)
+        idx = np.minimum(idx, max(len(uniq_c) - 1, 0))
+        member = (uniq_c[idx] == rows_a) if len(uniq_c) else np.zeros(0, bool)
+        used_c = np.unique(cols_a[member])
+        chunks.append((
+            uniq_c, used_c,
+            idx[member],                                  # local rows
+            np.searchsorted(used_c, cols_a[member]),      # local cols
+            vals_a[member],
+        ))
+
+    U_pad = max(len(c[0]) for c in chunks)
+    S_max = max(max(len(c[1]) for c in chunks), 1)
+    ops = [
+        mk_pallas(
+            r, cc, v, n_in=S_max, n_out=U_pad, chunk=512, window=256,
+            sort_cols=True, gather_dtype=gather_dtype,
+        )
+        for (_, _, r, cc, v) in chunks
+    ]
+    j_max = max(op.packed.rows.shape[0] for op in ops)
+    jt_max = max(op.packed_t.rows.shape[0] for op in ops)
+    import dataclasses as _dc
+
+    ops = [
+        _dc.replace(
+            op,
+            packed=_pad_packed_chunks(op.packed, j_max),
+            packed_t=_pad_packed_chunks(op.packed_t, jt_max),
+        )
+        for op in ops
+    ]
+    bundle["l2s_op"] = jax.device_put(
+        jax.tree.map(lambda *xs: jnp.stack(xs), *ops)
+    )
+
+    F0 = bundle[cached_key].shape[-1]
+    flat_cached = bundle[cached_key].reshape(T * N, F0)
+    hin = np.zeros((n_chunks, S_max), np.int64)
+    for c, (_, used_c, *_rest) in enumerate(chunks):
+        hin[c, : len(used_c)] = used_c
+    bundle["l2s_Hin"] = flat_cached[jnp.asarray(hin.reshape(-1), jnp.int32)].reshape(
+        n_chunks, S_max, F0
+    )
+
+    def to_stream(keys):
+        out = np.zeros(len(keys), np.int64)
+        for c, (uniq_c, *_rest) in enumerate(chunks):
+            sel = edge_chunk == c
+            out[sel] = c * U_pad + np.searchsorted(uniq_c, keys[sel])
+        return out
+
+    bundle["l2s_src"] = jax.device_put(jnp.asarray(to_stream(src_keys), jnp.int32))
+    bundle["l2s_trg"] = jax.device_put(jnp.asarray(to_stream(trg_keys), jnp.int32))
+
+
 def _readout_fn(bundle: dict):
     """Bind a bundle's ReadoutPlan (if any) into an op(Y, U) callable."""
     if "readout" not in bundle:
@@ -322,6 +454,7 @@ def make_edge_adapter(
     edges: dict[str, np.ndarray],
     M: np.ndarray | None = None,
     drop_last_slice: bool = False,
+    l2_stream_chunks: int | None = None,
 ) -> ModelAdapter:
     """Adapter for edge-output models on prepared windows.
 
@@ -333,6 +466,11 @@ def make_edge_adapter(
         M: mixing matrix (TM-GCN families only).
         drop_last_slice: link-prediction convention — the model consumes
             slices [0, T-1) and M[:-1, :-1].
+        l2_stream_chunks: TMGCN2 restricted path only — stream the
+            layer-2 propagation as a lax.scan over this many time-chunk
+            operators so HBM holds one chunk's gather stream at a time
+            (the 1M-node single-chip configuration; see
+            _build_streamed_layer2). None = single operator.
     """
     impl = getattr(model, "spmm_impl", "jnp")
     spmm_operator = (
@@ -376,6 +514,48 @@ def make_edge_adapter(
                     variables["params"]["W"], variables["params"]["U"], bundle,
                     model.dtype, model.readout,
                 ), carry
+
+            return ModelAdapter(model.init, apply, bundles, lambda variables: ())
+
+        if restricted2 and l2_stream_chunks:
+            from tmgcn_tpu.models.common import nonlinearity
+
+            done_s: set[int] = set()
+            for w in WINDOWS:
+                if id(bundles[w]) in done_s:
+                    continue
+                done_s.add(id(bundles[w]))
+                _build_streamed_layer2(
+                    bundles[w], adj[w], np.asarray(edges[w]), drop_last_slice,
+                    n_chunks=l2_stream_chunks,
+                    operator=impl if impl in OPERATOR_IMPLS else "auto",
+                )
+
+            def apply(variables, bundle, carry):
+                p = variables["params"]
+                dtype = model.dtype
+                nl = nonlinearity(model.nonlin2)
+                W1 = p["W1"]
+
+                def step(_, xs):
+                    op_c, H_c = xs
+                    H_c = H_c.astype(dtype)
+                    Y = nl(jnp.matmul(H_c, W1.astype(H_c.dtype)))
+                    if model.interlayer_dtype is not None:
+                        Y = Y.astype(model.interlayer_dtype)
+                    return None, op_c(Y).astype(dtype)
+
+                _, Z = jax.lax.scan(
+                    step, None, (bundle["l2s_op"], bundle["l2s_Hin"])
+                )
+                Zc = Z.reshape(-1, Z.shape[-1])
+                W2 = p["W2"].astype(dtype)
+                F2 = W2.shape[-1]
+                U = p["U"].astype(dtype)
+                P1 = jnp.matmul(Zc, W2 @ U[:F2])
+                P2 = jnp.matmul(Zc, W2 @ U[F2:])
+                logits = P1[bundle["l2s_src"]] + P2[bundle["l2s_trg"]]
+                return logits, carry
 
             return ModelAdapter(model.init, apply, bundles, lambda variables: ())
 
