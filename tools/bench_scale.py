@@ -78,6 +78,9 @@ def main() -> int:
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--band", type=int, default=20)
     ap.add_argument("--n-timed", type=int, default=20)
+    ap.add_argument("--l2-stream", type=int, default=None,
+                    help="stream the tmgcn2 restricted layer-2 over this "
+                         "many time chunks (1M-node HBM configuration)")
     ap.add_argument(
         "--families", default="tmgcn1,tmgcn2",
         help="comma list of tmgcn1,tmgcn2,evolvegcn,wdgcn",
@@ -196,7 +199,10 @@ def main() -> int:
         try:
             t0 = time.perf_counter()
             model, Mw = build_model(fam)
-            ad = make_edge_adapter(model, adj, feats, edict, M=Mw)
+            ad = make_edge_adapter(
+                model, adj, feats, edict, M=Mw,
+                l2_stream_chunks=args.l2_stream if fam == "tmgcn2" else None,
+            )
             res[f"{key}_build_s"] = round(time.perf_counter() - t0, 1)
             n = args.n_timed if fam == "tmgcn1" else max(args.n_timed // 4, 3)
             dt, warm = timed_epochs(ad, n)
