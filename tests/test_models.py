@@ -241,3 +241,42 @@ class TestEvolveGCNCachedAX:
         np.testing.assert_array_equal(np.asarray(out_cached), np.asarray(out_ref))
         for a, b in zip(finals_cached, finals_ref):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+class TestLstmRemat:
+    """The rematerialized in-body LSTM scan == the hoisted-pre scan."""
+
+    def test_fwd_and_grad_match(self):
+        import jax
+        import jax.numpy as jnp
+
+        from tmgcn_tpu.models.wdgcn import _init_lstm, lstm_scan
+
+        rng = np.random.default_rng(0)
+        T, N, F = 7, 33, 5
+        params, bufs = _init_lstm(jax.random.PRNGKey(2), F, jnp.float32)
+        Y = jnp.asarray(rng.standard_normal((T, N, F)), jnp.float32)
+
+        def run(remat):
+            def f(p):
+                return jnp.sum(
+                    lstm_scan(p, bufs["h_init"], bufs["c_init"], Y,
+                              remat=remat) ** 2
+                )
+            return f(params), jax.grad(f)(params)
+
+        v0, g0 = run(False)
+        v1, g1 = run(True)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-6)
+        for k in g0:
+            np.testing.assert_allclose(
+                np.asarray(g1[k]), np.asarray(g0[k]), rtol=1e-4, atol=1e-5
+            )
+
+    def test_auto_threshold(self):
+        from tmgcn_tpu.models.wdgcn import _PRE_BUDGET_ELEMS
+
+        # Small shapes stay on the hoisted path (f64 parity tests depend
+        # on it); the budget must be far above every reference dataset.
+        assert 80 * 4 * 6 * 7301 < _PRE_BUDGET_ELEMS  # chess
+        assert 64 * 4 * 6 * 500_000 > _PRE_BUDGET_ELEMS  # 500k bench

@@ -40,9 +40,51 @@ def _init_lstm(key: jax.Array, f: int, dtype) -> tuple[dict, dict]:
     return params, buffers
 
 
+# Above this many elements in the hoisted (T, 4, F, N) pre-gate tensor,
+# the scan switches to the rematerialized in-body path: the hoisted
+# stack + its saved-for-backward copy + cotangent are ~4 buffers of
+# T*4*F*N floats — at 500k nodes that is ~12 GB and the single-chip
+# compile dies allocating them (results/recurrent_compile_boundary.md).
+_PRE_BUDGET_ELEMS = 1 << 28
+
+
+def _lstm_scan_remat(
+    p: dict, h0: jax.Array, c0: jax.Array, Yt: jax.Array, unroll: int
+) -> jax.Array:
+    """Memory-lean LSTM scan: gates computed IN-BODY from (T, F, N).
+
+    The body is ``jax.checkpoint``-ed, so the backward recomputes the
+    per-step gate pre-activations instead of keeping the (T, 4, F, N)
+    stack alive — peak memory drops from ~4x the stack to the (T, F, N)
+    input + output + cotangents. Same per-gate dot lengths as
+    ``_lstm_scan_pre`` (W^T y + b first, + U^T h second), so results
+    match the hoisted path bit-for-bit in f64 and to fp rounding in f32.
+    """
+    F = p["Uf"].shape[0]
+    W = jnp.concatenate(
+        [p[f"W{g}"].astype(Yt.dtype) for g in "fjoc"], axis=1
+    )  # (F, 4F)
+    U = jnp.concatenate([p["Uf"], p["Uj"], p["Uo"], p["Uc"]], axis=1)
+    b = jnp.concatenate([p[f"b{g}"] for g in "fjoc"])  # (4F,)
+
+    def step(carry, y):
+        h, c = carry  # (F, N)
+        z = ((W.T @ y + b[:, None]) + U.T @ h).reshape(4, F, -1)
+        f, j, o, ct = jax.nn.sigmoid(z)
+        c = j * ct + f * c
+        h = o * jnp.tanh(c)
+        return (h, c), h
+
+    n = Yt.shape[-1]
+    carry0 = (jnp.tile(h0[:, None], (1, n)), jnp.tile(c0[:, None], (1, n)))
+    _, Z = jax.lax.scan(jax.checkpoint(step), carry0, Yt, unroll=unroll)
+    return Z  # (T, F, N)
+
+
 def lstm_scan(
     params: dict, h0: jax.Array, c0: jax.Array, Y: jax.Array,
     unroll: int | None = None,
+    remat: bool | None = None,
 ) -> jax.Array:
     """Scan the shared-weight LSTM over (T, N, F) -> (T, N, F).
 
@@ -59,6 +101,13 @@ def lstm_scan(
       the scan boundary, not per step.
     """
     p = params
+    if remat is None:
+        remat = Y.size * 4 > _PRE_BUDGET_ELEMS
+    if remat:
+        Zt = _lstm_scan_remat(
+            p, h0, c0, jnp.swapaxes(Y, 1, 2), unroll if unroll else 8
+        )
+        return jnp.swapaxes(Zt, 1, 2)
     # (T, 4, F, N) input-gate contributions, bias folded in, all four
     # gates stacked so the scan body issues ONE recurrent matmul.
     pre = jnp.stack(
@@ -75,6 +124,7 @@ def lstm_scan(
 def lstm_scan_t(
     params: dict, h0: jax.Array, c0: jax.Array, Yt: jax.Array,
     unroll: int | None = None,
+    remat: bool | None = None,
 ) -> jax.Array:
     """lstm_scan on a TRANSPOSED (T, F, N) input -> (T, N, F) output.
 
@@ -84,8 +134,17 @@ def lstm_scan_t(
     ~21x, so the (T, N, F) einsum in lstm_scan touches 21x more VREG
     tiles than its data needs). One transpose at the end returns the
     readout's (T, N, F) layout.
+
+    remat=None auto-selects the in-body rematerialized scan when the
+    hoisted pre-gate stack would exceed ``_PRE_BUDGET_ELEMS`` (large-N
+    single-chip configs; results/recurrent_compile_boundary.md).
     """
     p = params
+    if remat is None:
+        remat = Yt.size * 4 > _PRE_BUDGET_ELEMS
+    if remat:
+        Zt = _lstm_scan_remat(p, h0, c0, Yt, unroll if unroll else 8)
+        return jnp.swapaxes(Zt, 1, 2)
     pre = jnp.stack(
         [
             jnp.einsum("kg,tkn->tgn", p[f"W{g}"].astype(Yt.dtype), Yt)

@@ -73,6 +73,7 @@ def main() -> int:
     ap.add_argument("--no-readout-plan", action="store_true")
     ap.add_argument("--ablate-head", action="store_true")
     ap.add_argument("--n-timed", type=int, default=3)
+    ap.add_argument("--tag", default=None, help="free-form row tag (e.g. fresh_device)")
     ap.add_argument("--out", default="results/recurrent_boundary.jsonl")
     args = ap.parse_args()
 
@@ -92,6 +93,7 @@ def main() -> int:
         "nnz_per_slice": args.nnz_per_slice, "edges": args.edges,
         "unroll": args.unroll,
         "readout_plan": not args.no_readout_plan,
+        "tag": args.tag,
         "head": "none" if args.ablate_head else "readout",
     }
     t0 = time.perf_counter()

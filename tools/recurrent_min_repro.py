@@ -44,6 +44,7 @@ def main() -> int:
     ap.add_argument("--nnz-per-slice", type=int, default=2_000_000)
     ap.add_argument("--edges", type=int, default=1_000_000)
     ap.add_argument("--unroll", type=int, default=8)
+    ap.add_argument("--tag", default=None)
     ap.add_argument("--out", default="results/recurrent_boundary.jsonl")
     args = ap.parse_args()
 
@@ -55,7 +56,8 @@ def main() -> int:
     T, N, F = args.slices, args.nodes, args.feat
     key = jax.random.PRNGKey(0)
     row = {"family": "component", "component": args.component,
-           "nodes": N, "slices": T, "feat": F, "unroll": args.unroll}
+           "nodes": N, "slices": T, "feat": F, "unroll": args.unroll,
+           "tag": args.tag}
 
     def dev_normal(shape, k):
         out = jax.jit(
