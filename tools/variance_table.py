@@ -18,7 +18,7 @@ OUT_DIR = REPO / "results/protocol_chess"
 
 
 def collect(side: str, family: str, task: str) -> list[dict]:
-    tags = [""] + [f"_r{i}" for i in (1, 2, 3)] + [f"_s{i}" for i in (0, 1, 2, 3)]
+    tags = [""] + [f"_r{i}" for i in range(1, 6)] + [f"_s{i}" for i in range(10)]
     out = []
     for t in tags:
         p = OUT_DIR / f"{side}_{family}_{task}{t}.json"
@@ -28,18 +28,27 @@ def collect(side: str, family: str, task: str) -> list[dict]:
 
 
 def bracket(runs: list[dict], path: tuple[str, ...]) -> tuple[float, float] | None:
+    import math
+
     vals = []
+    n_nan = 0
     for r in runs:
         d = r
         try:
             for k in path:
                 d = d[k]
-            vals.append(float(d))
+            v = float(d)
         except (KeyError, TypeError):
-            pass
+            continue
+        if math.isnan(v):
+            # A NaN F1 is "zero predicted positives" (the reference's
+            # 0/0); record it separately, don't poison the bracket.
+            n_nan += 1
+        else:
+            vals.append(v)
     if not vals:
         return None
-    return (min(vals), max(vals))
+    return (min(vals), max(vals), n_nan)
 
 
 def overlap(a, b) -> bool | None:
@@ -78,7 +87,9 @@ def main() -> int:
     print("| family | task | metric | ref (n) bracket | ours (n) bracket | overlap |")
     print("|---|---|---|---|---|---|")
     for r in rows:
-        fmt = lambda b: "—" if b is None else f"[{b[0]:.4f}, {b[1]:.4f}]"
+        fmt = lambda b: "—" if b is None else (
+            f"[{b[0]:.4f}, {b[1]:.4f}]" + (f" +{b[2]}nan" if len(b) > 2 and b[2] else "")
+        )
         print(
             f"| {r['family']} | {r['task']} | {r['metric']} "
             f"| {fmt(r['ref_bracket'])} ({r['n_ref']}) "
