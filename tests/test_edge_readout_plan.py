@@ -249,3 +249,47 @@ def test_evolvegcn2_adapter_restricted_matches_model():
         ),
         g_fast, g_ref,
     )
+
+
+def test_lane_major_plan_matches_direct():
+    """Forced lane-major backward (the huge-T*N auto path) == direct."""
+    rng = np.random.default_rng(5)
+    T, N, E, F = 4, 64, 120, 5
+    edges = np.stack([
+        np.sort(rng.integers(0, T, E)),
+        rng.integers(0, N, E),
+        rng.integers(0, N, E),
+    ]).astype(np.int64)
+    Y = jnp.asarray(rng.standard_normal((T, N, F)).astype(np.float32))
+    U = jnp.asarray(rng.standard_normal((2 * F, 3)).astype(np.float32))
+    plan = make_readout_plan(edges, T, N, interpret=True, lane_major=True)
+    assert plan.lane_major
+    e = jnp.asarray(edges)
+    tgt = jnp.asarray(rng.standard_normal((E, 3)).astype(np.float32))
+
+    np.testing.assert_allclose(
+        np.asarray(apply_readout(plan, Y, U)),
+        np.asarray(edge_readout(Y, e, U)), rtol=1e-6, atol=1e-6,
+    )
+
+    def loss_direct(Y, U):
+        return jnp.sum((edge_readout(Y, e, U) - tgt) ** 2)
+
+    def loss_fast(Y, U):
+        return jnp.sum((apply_readout(plan, Y, U) - tgt) ** 2)
+
+    gY_d, gU_d = jax.grad(loss_direct, argnums=(0, 1))(Y, U)
+    gY_f, gU_f = jax.grad(loss_fast, argnums=(0, 1))(Y, U)
+    np.testing.assert_allclose(np.asarray(gY_f), np.asarray(gY_d),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(gU_f), np.asarray(gU_d),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_lane_major_auto_threshold():
+    from tmgcn_tpu.ops.edge_readout import LANE_MAJOR_BYTES
+
+    # chess (T*N = 584k) stays on the standard kernel; the 500k-node
+    # configs (T*N = 32M) switch automatically.
+    assert (584_080 // 8 + 1) * 4096 < LANE_MAJOR_BYTES
+    assert (32_000_000 // 8 + 1) * 4096 > LANE_MAJOR_BYTES

@@ -721,6 +721,109 @@ def windowed_segment_matmul(
     )(*operands)
 
 
+def _scatter_kernel_t(
+    wid_ref, first_ref, rows_ref, vals_ref, g_ref, *refs, precision
+):
+    """Lane-major variant: out block (F, W); gathered chunk (F, C).
+
+    The (n_rows_out, F) output of the standard kernel lives in the
+    (8,128)-tiled layout Mosaic requires — at F~6 that pads 21x (15 GB
+    at 32M rows, the 500k-node recurrent OOM). Here the output is
+    (F, n_rows_out): rows on the LANE axis, F on sublanes (pad 8/F
+    only). acc = scaled (F, C) @ onehot (C, W)."""
+    out_ref = refs[-1]
+    j = pl.program_id(0)
+    C = rows_ref.shape[-1]
+    W = out_ref.shape[-1]
+    rel = rows_ref[0, 0]  # (C,) int32, window-relative
+    v_row = vals_ref[0, 0][None, :].astype(g_ref.dtype)  # (1, C)
+    scaled = g_ref[0] * v_row  # (F, C)
+    onehot = (
+        jax.lax.broadcasted_iota(jnp.int32, (C, W), 1) == rel[:, None]
+    ).astype(g_ref.dtype)
+    acc = jax.lax.dot_general(
+        scaled,
+        onehot,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        precision=precision,
+        preferred_element_type=out_ref.dtype,
+    )
+
+    @pl.when(first_ref[j] == 1)
+    def _():
+        out_ref[:] = acc
+
+    @pl.when(first_ref[j] != 1)
+    def _():
+        out_ref[:] = out_ref[:] + acc
+
+
+def windowed_segment_matmul_t(
+    packed: PackedSpmm,
+    gathered_t: jax.Array,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+    out_dtype=None,
+    init: jax.Array | None = None,
+) -> jax.Array:
+    """(J, F, C) transposed gathered chunks -> (F, n_rows_out) sums.
+
+    The lane-major twin of ``windowed_segment_matmul``: identical math,
+    output transposed so huge-row/narrow-F scatters (the readout
+    backward at T*N in the tens of millions) avoid the 21x lane-padded
+    layout. ``init``: a zero (F, n_rows_out) array donated as backing
+    store — required with all_windows=False packings.
+    """
+    J, C = packed.rows.shape
+    F = gathered_t.shape[-2]
+    W = packed.window
+    out_dtype = gathered_t.dtype if out_dtype is None else out_dtype
+    itemsize = jnp.dtype(gathered_t.dtype).itemsize
+
+    in_specs = [
+        pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, F, C), lambda j, wid, first: (j, 0, 0), memory_space=pltpu.VMEM),
+    ]
+    operands = [
+        packed.window_id,
+        packed.is_first,
+        packed.rows[:, None, :],
+        packed.vals[:, None, :],
+        gathered_t,
+    ]
+    kwargs = {}
+    if init is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (F, W), lambda j, wid, first: (0, wid[j]), memory_space=pltpu.VMEM
+            )
+        )
+        operands.append(init.astype(out_dtype))
+        kwargs["input_output_aliases"] = {5: 0}
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(J,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec(
+            (F, W), lambda j, wid, first: (0, wid[j]), memory_space=pltpu.VMEM
+        ),
+    )
+    return pl.pallas_call(
+        partial(_scatter_kernel_t, precision=precision),
+        out_shape=jax.ShapeDtypeStruct((F, packed.n_rows_out), out_dtype),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * J * W * C * F,
+            bytes_accessed=J * C * F * itemsize + packed.n_rows_out * F * 4,
+            transcendentals=0,
+        ),
+        **kwargs,
+    )(*operands)
+
+
 def _flat_fwd_impl(n_out, fast, interpret, gather_dtype, packed, flat):
     F = flat.shape[-1]
     out_dtype = flat.dtype

@@ -91,7 +91,7 @@ from functools import partial
 @partial(
     jax.tree_util.register_dataclass,
     data_fields=["src", "trg", "sort_cols", "packed"],
-    meta_fields=["n_rows", "interpret"],
+    meta_fields=["n_rows", "interpret", "lane_major"],
 )
 @dataclasses.dataclass(frozen=True)
 class ReadoutPlan:
@@ -105,6 +105,13 @@ class ReadoutPlan:
 
     sort_cols composes the sort permutation with the kernel's chunk
     layout: gradient rows are gathered once, directly into chunk order.
+
+    lane_major: run the backward through the TRANSPOSED-output kernel
+    ((F, T*N) with rows on lanes) — at T*N in the tens of millions the
+    standard kernel's (T*N, F~6) output in Mosaic's (8,128)-tiled
+    layout pads 21x (15 GB at 32M rows — the 500k-node recurrent OOM,
+    results/recurrent_compile_boundary.md); the lane-major layout pads
+    only 8/F on sublanes.
     """
 
     src: jax.Array  # (E,) flat src ids
@@ -113,20 +120,32 @@ class ReadoutPlan:
     packed: object  # PackedSpmm scatter plan over the sorted rows
     n_rows: int  # T*N
     interpret: bool
+    lane_major: bool = False
+
+
+# Past this padded-bytes budget for the standard kernel's (T*N, F)
+# cotangent (~rows/8 * 4 kB), the plan switches to the lane-major
+# kernel automatically.
+LANE_MAJOR_BYTES = 2 << 30
 
 
 def make_readout_plan(
     edges, n_slices: int, n_nodes: int, chunk: int = 256, window: int = 256,
     interpret: bool | None = None,
+    lane_major: bool | None = None,
 ) -> ReadoutPlan:
     """Build the plan host-side, once per edge set.
 
-    interpret=None auto-selects the Pallas interpreter off-TPU.
+    interpret=None auto-selects the Pallas interpreter off-TPU;
+    lane_major=None auto-selects the transposed-output backward kernel
+    past LANE_MAJOR_BYTES of padded standard-layout cotangent.
     """
     import numpy as np
 
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    if lane_major is None:
+        lane_major = (n_slices * n_nodes // 8 + 1) * 4096 > LANE_MAJOR_BYTES
 
     from tmgcn_tpu.core.sparse import TemporalCOO
     from tmgcn_tpu.kernels.spmm_pallas import pack_windowed
@@ -164,6 +183,7 @@ def make_readout_plan(
         packed=packed,
         n_rows=n_slices * n_nodes,
         interpret=interpret,
+        lane_major=bool(lane_major),
     )
 
 
@@ -181,7 +201,10 @@ def _readout_fwd(plan, Y, U):
 
 
 def _readout_bwd(res, g):
-    from tmgcn_tpu.kernels.spmm_pallas import windowed_segment_matmul
+    from tmgcn_tpu.kernels.spmm_pallas import (
+        windowed_segment_matmul,
+        windowed_segment_matmul_t,
+    )
 
     plan, Y, U = res
     F = Y.shape[-1]
@@ -190,19 +213,42 @@ def _readout_bwd(res, g):
     dU = jnp.concatenate(
         [flat[plan.src].T @ g, flat[plan.trg].T @ g], axis=0
     ).astype(U.dtype)
-    # dY: scatter g @ U_sideᵀ rows through the sorted windowed kernel;
-    # sort_cols gathers gradient rows directly into chunk order (padding
-    # entries carry val 0 in the plan, so their rows are ignored).
-    d_both = jnp.concatenate([g @ U2[:F].T, g @ U2[F:].T], axis=0)  # (2E, F)
     packed = plan.packed
-    gathered = d_both[plan.sort_cols].reshape(packed.n_chunks, packed.chunk, F)
-    dflat = windowed_segment_matmul(
-        packed, gathered, interpret=plan.interpret,
-        init=jnp.zeros((packed.n_rows_out, F), gathered.dtype),
-    )
+    if plan.lane_major:
+        # Lane-major backward: every big intermediate keeps rows on the
+        # LANE axis — (F, 2E) gradient rows, (J, F, C) chunk blocks,
+        # (F, n_rows_out) kernel output — so nothing materializes the
+        # 21x-padded (rows, F~6) layout at huge T*N.
+        d_both_t = jnp.concatenate(
+            [U2[:F] @ g.T, U2[F:] @ g.T], axis=1
+        )  # (F, 2E)
+        gathered_t = (
+            d_both_t[:, plan.sort_cols]
+            .reshape(F, packed.n_chunks, packed.chunk)
+            .transpose(1, 0, 2)
+        )
+        dflat_t = windowed_segment_matmul_t(
+            packed, gathered_t, interpret=plan.interpret,
+            init=jnp.zeros((F, packed.n_rows_out), gathered_t.dtype),
+        )
+        dY = dflat_t[:, : plan.n_rows].T.reshape(Y.shape)
+    else:
+        # dY: scatter g @ U_sideᵀ rows through the sorted windowed
+        # kernel; sort_cols gathers gradient rows directly into chunk
+        # order (padding entries carry val 0, so their rows are
+        # ignored).
+        d_both = jnp.concatenate([g @ U2[:F].T, g @ U2[F:].T], axis=0)  # (2E, F)
+        gathered = d_both[plan.sort_cols].reshape(
+            packed.n_chunks, packed.chunk, F
+        )
+        dflat = windowed_segment_matmul(
+            packed, gathered, interpret=plan.interpret,
+            init=jnp.zeros((packed.n_rows_out, F), gathered.dtype),
+        )
+        dY = dflat[: plan.n_rows].reshape(Y.shape)
     from tmgcn_tpu.kernels.spmm_pallas import _zero_cotangent
 
-    return _zero_cotangent(plan), dflat[: plan.n_rows].reshape(Y.shape), dU
+    return _zero_cotangent(plan), dY, dU
 
 
 apply_readout.defvjp(_readout_fwd, _readout_bwd)

@@ -421,18 +421,13 @@ def _prepare_bundles(
             # counts), so on TPU every edge model gets the prepacked
             # plan. Off-TPU only operator-backed configs build it (the
             # interpreted kernel is slow; XLA CPU scatters are fine).
-            # EXCEPT at very large T*N: Mosaic forces the kernel's
-            # (T*N, F) cotangent into the (8,128)-tiled layout, which
-            # pads F~6 to 128 lanes — 21x memory, 15 GB at 32M rows
-            # (the measured 500k-node recurrent OOM,
-            # results/recurrent_compile_boundary.md). One ~4 kB tile
-            # per 8 rows bounds the padded size; past the budget the
-            # XLA scatter backward is slower but memory-sane.
-            n_flat_rows = n_slices * n_nodes
-            plan_bytes = (n_flat_rows // 8 + 1) * 4096
-            if (
-                spmm_operator is not None or jax.default_backend() == "tpu"
-            ) and plan_bytes <= 2 << 30:
+            # At very large T*N the plan auto-switches to the
+            # lane-major backward kernel (make_readout_plan lane_major
+            # auto): the standard kernel's (T*N, F~6) cotangent in
+            # Mosaic's (8,128)-tiled layout pads 21x — 15 GB at 32M
+            # rows, the measured 500k-node recurrent OOM
+            # (results/recurrent_compile_boundary.md).
+            if spmm_operator is not None or jax.default_backend() == "tpu":
                 from tmgcn_tpu.ops.edge_readout import make_readout_plan
 
                 bundle["readout"] = make_readout_plan(
